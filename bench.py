@@ -1,0 +1,143 @@
+"""Benchmark: TPU train-step throughput on the flagship C2 4-bar GRU VAE vs
+the reference-equivalent PyTorch-CPU oracle (BASELINE.md denominator).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": tpu_steps_per_sec, "unit": "steps/sec/chip",
+   "vs_baseline": tpu/torch_cpu_ratio}
+
+Extra context (generation throughput, oracle numbers) goes to stderr.
+The torch-CPU oracle measurement is cached in .bench_cache.json (delete to
+re-measure); BASELINE.json's published field is {} — the oracle IS the
+baseline (SURVEY §6).
+"""
+
+import json
+import os
+import sys
+import time
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache.json")
+
+TRAIN_STEPS = 30
+WARMUP = 5
+ORACLE_STEPS = 4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu_train(cfg):
+    import jax
+    import jax.numpy as jnp
+    from musicvae_tpu.parallel import make_mesh, replicated, shard_batch
+    from musicvae_tpu.train import create_state, make_train_step
+
+    mesh = make_mesh(cfg.mesh)
+    model, state = create_state(cfg)
+    state = jax.device_put(state, replicated(mesh))
+    step_fn = make_train_step(cfg, model)
+
+    b = cfg.train.batch_size
+    x = (jax.random.uniform(jax.random.key(0),
+                            (b, cfg.model.num_bars, 96, 128)) < 0.08
+         ).astype(jnp.float32)
+    batch = shard_batch({"x": x}, mesh)
+
+    for _ in range(WARMUP):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return TRAIN_STEPS / dt
+
+
+def bench_tpu_generate(cfg):
+    import jax
+    from musicvae_tpu.config import GenSpec
+    from musicvae_tpu.generate import make_generate_fn
+
+    gcfg = cfg.replace(gen=GenSpec(num_bars=16, num_samples=256,
+                                   interpolate=True))
+    gen = make_generate_fn(gcfg)
+    from musicvae_tpu.train import create_state
+    _, state = create_state(gcfg)
+    bars = gen(state.params, jax.random.key(0))
+    jax.block_until_ready(bars)
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        bars = gen(state.params, jax.random.key(i))
+    jax.block_until_ready(bars)
+    dt = time.perf_counter() - t0
+    total_bars = reps * gcfg.gen.num_samples * gcfg.gen.num_bars
+    return (total_bars / 4) / dt      # 4-bar phrases/sec
+
+
+def bench_oracle(cfg):
+    import torch
+    sig = f"c2-b{cfg.train.batch_size}-torch{torch.__version__}"
+    if os.path.exists(CACHE):
+        try:
+            with open(CACHE) as f:
+                cache = json.load(f)
+            if cache.get("sig") == sig:
+                log(f"oracle (cached): {cache['steps_per_sec']:.4f} steps/s")
+                return cache["steps_per_sec"]
+        except Exception:
+            pass
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from oracle.oracle_model import OracleVAE, oracle_train_step
+
+    torch.manual_seed(0)
+    model = OracleVAE(cfg)
+    opt = torch.optim.Adam(model.parameters(), lr=cfg.train.learning_rate)
+    b = cfg.train.batch_size
+    x = (torch.rand(b, cfg.model.num_bars, 96, 128) < 0.08).float()
+    mask = torch.ones(128)
+    oracle_train_step(model, opt, x, mask, beta=1.0)   # warmup
+    t0 = time.perf_counter()
+    for _ in range(ORACLE_STEPS):
+        oracle_train_step(model, opt, x, mask, beta=1.0)
+    sps = ORACLE_STEPS / (time.perf_counter() - t0)
+    with open(CACHE, "w") as f:
+        json.dump({"sig": sig, "steps_per_sec": sps}, f)
+    log(f"oracle (measured): {sps:.4f} steps/s")
+    return sps
+
+
+def main():
+    import jax
+    from musicvae_tpu.config import C2_GRU_4BAR
+
+    cfg = C2_GRU_4BAR
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    tpu_sps = bench_tpu_train(cfg)
+    log(f"tpu train: {tpu_sps:.3f} steps/s (batch {cfg.train.batch_size})")
+    try:
+        phrases = bench_tpu_generate(cfg)
+        log(f"tpu generation: {phrases:.1f} 4-bar phrases/s "
+            f"(target >= 100)")
+    except Exception as e:                      # bench must always emit
+        log(f"generation bench failed: {e}")
+        phrases = None
+    oracle_sps = bench_oracle(cfg)
+
+    print(json.dumps({
+        "metric": "train steps/sec/chip (C2 4-bar piano-roll GRU-VAE, "
+                  "batch 64) vs torch-CPU oracle",
+        "value": round(tpu_sps, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(tpu_sps / oracle_sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

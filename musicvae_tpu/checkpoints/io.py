@@ -1,0 +1,75 @@
+"""Orbax checkpointing (SURVEY §3.5, §5.4).
+
+Reference: ``torch.save({'model':…, 'opt':…, 'step':…})`` / ``load_state_dict``
+with resume. Rebuild: an Orbax CheckpointManager over the full TrainState
+pytree {params, opt_state, step, rng} plus the Config (JSON), async save,
+keep-N retention — every run is step-resumable (SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from musicvae_tpu import config as config_lib
+
+
+def config_to_json(cfg: config_lib.Config) -> str:
+    return json.dumps(dataclasses.asdict(cfg))
+
+
+def config_from_json(text: str) -> config_lib.Config:
+    d = json.loads(text)
+    return config_lib.Config(
+        name=d["name"],
+        midi=config_lib.MidiSpec(**d["midi"]),
+        model=config_lib.ModelSpec(
+            **{**d["model"],
+               "enc_channels": tuple(d["model"]["enc_channels"]),
+               "dec_channels": tuple(d["model"]["dec_channels"])}),
+        train=config_lib.TrainSpec(**d["train"]),
+        gen=config_lib.GenSpec(**d["gen"]),
+        mesh=config_lib.MeshSpec(**d["mesh"]),
+    )
+
+
+def make_manager(directory: str, keep: int = 3) -> ocp.CheckpointManager:
+    os.makedirs(directory, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=keep, enable_async_checkpointing=True)
+    return ocp.CheckpointManager(os.path.abspath(directory), options=options)
+
+
+def save(manager: ocp.CheckpointManager, state, cfg: config_lib.Config,
+         wait: bool = False) -> None:
+    step = int(jax.device_get(state.step))
+    manager.save(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            config=ocp.args.JsonSave(dataclasses.asdict(cfg)),
+        ))
+    if wait:
+        manager.wait_until_finished()
+
+
+def restore(manager: ocp.CheckpointManager, abstract_state,
+            step: Optional[int] = None) -> Tuple[Any, config_lib.Config]:
+    """Restore (state, config). abstract_state: a pytree of ShapeDtypeStructs
+    or a concrete template TrainState (e.g. from trainer.create_state)."""
+    step = step if step is not None else manager.latest_step()
+    if step is None:
+        raise FileNotFoundError("no checkpoint found")
+    restored = manager.restore(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(abstract_state),
+            config=ocp.args.JsonRestore(),
+        ))
+    cfg = config_from_json(json.dumps(restored["config"]))
+    return restored["state"], cfg

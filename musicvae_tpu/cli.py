@@ -1,0 +1,157 @@
+"""CLI entry points (SURVEY §1 L6): preprocess / train / generate.
+
+Reference: `python train.py`, `python generate.py` scripts with a config
+module. Rebuild: `python -m musicvae_tpu <cmd> --config c2_gru_4bar`
+(SURVEY §5.6), configs are the frozen C1–C5 dataclasses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default="c1_conv_bar",
+                   help="one of the canonical configs (config.py)")
+    p.add_argument("--ckpt-dir", default="checkpoints_out")
+
+
+def cmd_preprocess(args) -> int:
+    from musicvae_tpu.config import get_config
+    from musicvae_tpu.data import PianoRollDataset, synth_corpus
+
+    cfg = get_config(args.config)
+    if args.midi_glob:
+        pieces = []
+        for path in sorted(glob.glob(args.midi_glob)):
+            with open(path, "rb") as f:
+                pieces.append((f.read(), 0, 0))
+        if not pieces:
+            print(f"no MIDI files match {args.midi_glob}", file=sys.stderr)
+            return 1
+    else:
+        pieces = synth_corpus(args.synthetic_pieces, n_bars=32,
+                              seed=cfg.train.seed)
+    ds = PianoRollDataset.from_corpus(pieces, cfg.midi, cfg.model.num_bars)
+    ds.save_npy(args.out)
+    print(f"wrote {len(ds)} windows of {cfg.model.num_bars} bars to {args.out}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    import jax
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.config import get_config
+    from musicvae_tpu.data import PianoRollDataset, synth_corpus
+    from musicvae_tpu.parallel import make_mesh
+    from musicvae_tpu.train import create_state, train
+    from musicvae_tpu.utils import MetricsLogger
+
+    cfg = get_config(args.config)
+    if args.steps:
+        import dataclasses
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    num_steps=args.steps))
+    if args.data and os.path.exists(args.data):
+        ds = PianoRollDataset.load_npy(args.data)
+    else:
+        ds = PianoRollDataset.from_corpus(
+            synth_corpus(64, n_bars=32, seed=cfg.train.seed),
+            cfg.midi, cfg.model.num_bars)
+    print(f"dataset: {len(ds)} windows; devices: {jax.devices()}",
+          file=sys.stderr)
+    mesh = make_mesh(cfg.mesh)
+    manager = checkpoints.make_manager(args.ckpt_dir, cfg.train.ckpt_keep)
+    logger = MetricsLogger(args.log_dir)
+    state = None
+    if args.resume and manager.latest_step() is not None:
+        _, template = create_state(cfg)
+        state, cfg = checkpoints.restore(manager, template)
+        print(f"resumed from step {manager.latest_step()}", file=sys.stderr)
+    _, state, metrics = train(
+        cfg, ds.iterator(cfg.train.batch_size, cfg.train.seed),
+        mesh=mesh, ckpt_manager=manager, log_fn=logger, state=state)
+    checkpoints.save(manager, state, cfg, wait=True)
+    logger.close()
+    print(f"final metrics: { {k: float(v) for k, v in metrics.items()} }")
+    return 0
+
+
+def cmd_generate(args) -> int:
+    import dataclasses
+    import jax
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.config import GenSpec, get_config
+    from musicvae_tpu.generate import bars_to_midi, make_generate_fn
+    from musicvae_tpu.train import create_state
+
+    cfg = get_config(args.config)
+    cfg = cfg.replace(gen=GenSpec(num_bars=args.bars,
+                                  num_samples=args.samples,
+                                  interpolate=args.interpolate,
+                                  temperature=args.temperature))
+    model, state = create_state(cfg)
+    manager = checkpoints.make_manager(args.ckpt_dir)
+    if manager.latest_step() is not None:
+        from musicvae_tpu.models import build_model
+        state, restored_cfg = checkpoints.restore(manager, state)
+        cfg = restored_cfg.replace(gen=cfg.gen)
+        model = build_model(cfg)
+    else:
+        print("warning: no checkpoint found, generating from random init",
+              file=sys.stderr)
+    gen = make_generate_fn(cfg, model)
+    bars = np.asarray(gen(state.params, jax.random.key(args.seed)))
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i in range(min(args.write_midis, bars.shape[0])):
+        path = os.path.join(args.out_dir, f"sample_{i:04d}.mid")
+        with open(path, "wb") as f:
+            f.write(bars_to_midi(bars[i], cfg))
+    np.save(os.path.join(args.out_dir, "rolls.npy"), bars)
+    print(f"generated {bars.shape[0]} x {bars.shape[1]} bars -> {args.out_dir}")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="musicvae_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("preprocess", help="MIDI → piano-roll window cache")
+    _add_common(p)
+    p.add_argument("--midi-glob", default=None,
+                   help="glob of .mid files (default: synthetic corpus)")
+    p.add_argument("--synthetic-pieces", type=int, default=64)
+    p.add_argument("--out", default="data/rolls.npz")
+    p.set_defaults(fn=cmd_preprocess)
+
+    p = sub.add_parser("train", help="train a config")
+    _add_common(p)
+    p.add_argument("--data", default=None, help="npz cache from preprocess")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--log-dir", default="logs")
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("generate", help="bar-by-bar autoregressive sampling")
+    _add_common(p)
+    p.add_argument("--bars", type=int, default=16)
+    p.add_argument("--samples", type=int, default=4)
+    p.add_argument("--interpolate", action="store_true")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default="generated")
+    p.add_argument("--write-midis", type=int, default=8)
+    p.set_defaults(fn=cmd_generate)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

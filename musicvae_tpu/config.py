@@ -1,0 +1,173 @@
+"""Frozen configuration dataclasses, one per BASELINE.json capability config.
+
+The five configs (C1–C5) come verbatim from BASELINE.json ``configs``; the
+reference repo's own config module was unreadable (SURVEY.md §0.1), so field
+names here are this framework's canonical vocabulary, documented in
+midi/SEMANTICS.md and tests/oracle/.
+
+All configs are hashable frozen dataclasses so they can be closed over by
+``jax.jit`` as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MidiSpec:
+    """Piano-roll tensorization semantics (midi/SEMANTICS.md)."""
+
+    steps_per_quarter: int = 24          # grid resolution
+    quarters_per_bar: int = 4            # assume 4/4
+    num_pitches: int = 128               # full MIDI pitch axis
+    pitch_lo: int = 0                    # crop [lo, hi) — loss-masked region
+    pitch_hi: int = 128
+    binarize_threshold: float = 0.5      # generation-time Bernoulli threshold
+    velocity: int = 100                  # writer: velocity for emitted notes
+    tempo_bpm: float = 120.0             # writer: fixed tempo
+
+    @property
+    def steps_per_bar(self) -> int:
+        return self.steps_per_quarter * self.quarters_per_bar  # 96
+
+    @property
+    def cropped_pitches(self) -> int:
+        return self.pitch_hi - self.pitch_lo
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Architecture hyperparameters shared across the VAE family."""
+
+    kind: str = "conv_bar"               # conv_bar | gru_seq | hier | cond
+    z_dim: int = 64                      # bar-level latent
+    z_phrase_dim: int = 256              # phrase-level latent (hier only)
+    enc_channels: Tuple[int, ...] = (16, 32, 64, 128, 128)
+    dec_channels: Tuple[int, ...] = (128, 128, 64, 32, 16)
+    bar_feat_dim: int = 256              # per-bar feature vector (GRU input)
+    gru_hidden: int = 256                # sequence/conductor GRU width
+    num_bars: int = 1                    # bars per training example
+    cond_chord_classes: int = 24         # 12 roots x {maj, min}
+    cond_key_classes: int = 24
+    cond_embed_dim: int = 16
+    use_prev_bar: bool = True            # decoder conditions on previous bar
+    dtype: str = "bfloat16"              # compute dtype (params stay fp32)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSpec:
+    batch_size: int = 16
+    learning_rate: float = 1e-3
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 0.0          # 0 disables
+    # KL annealing: beta ramps linearly 0 -> beta_max over warmup steps,
+    # after an initial hold of beta_hold_steps at 0.
+    beta_max: float = 1.0
+    beta_warmup_steps: int = 2000
+    beta_hold_steps: int = 0
+    num_steps: int = 10000
+    log_every: int = 100
+    ckpt_every: int = 1000
+    ckpt_keep: int = 3
+    seed: int = 0
+    remat_encoder: bool = False          # jax.checkpoint on per-bar encoder
+    use_pallas_loss: bool = True         # fused Pallas ELBO kernel when on TPU
+
+
+@dataclasses.dataclass(frozen=True)
+class GenSpec:
+    num_bars: int = 4                    # autoregressive generation length
+    num_samples: int = 1                 # batched sweep width
+    interpolate: bool = False            # slerp z_a -> z_b over num_bars
+    temperature: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    """Device-mesh axes. data = batch sharding (primary), model = optional
+    tensor-parallel axis for large decoders (demonstration axis, off = 1)."""
+
+    data: int = 1
+    model: int = 1
+
+    @property
+    def axis_names(self) -> Tuple[str, str]:
+        return ("data", "model")
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    name: str = "c1_conv_bar"
+    midi: MidiSpec = dataclasses.field(default_factory=MidiSpec)
+    model: ModelSpec = dataclasses.field(default_factory=ModelSpec)
+    train: TrainSpec = dataclasses.field(default_factory=TrainSpec)
+    gen: GenSpec = dataclasses.field(default_factory=GenSpec)
+    mesh: MeshSpec = dataclasses.field(default_factory=MeshSpec)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# --- The five BASELINE.json configs -----------------------------------------
+
+# C1: "Single-bar piano-roll conv VAE (~1M params, 96x128 roll), batch 16,
+#      CPU fp32 — ELBO train + reconstruct"
+C1_CONV_BAR = Config(
+    name="c1_conv_bar",
+    model=ModelSpec(kind="conv_bar", num_bars=1, use_prev_bar=False,
+                    dtype="float32"),
+    train=TrainSpec(batch_size=16),
+)
+
+# C2: "4-bar GRU sequence VAE with KL annealing, batch 64, synthetic MIDI corpus"
+C2_GRU_4BAR = Config(
+    name="c2_gru_4bar",
+    model=ModelSpec(kind="gru_seq", num_bars=4, z_dim=128),
+    train=TrainSpec(batch_size=64, beta_warmup_steps=4000),
+)
+
+# C3: "Hierarchical bar→phrase VAE, teacher-forced decoder, 16-bar context,
+#      batch 128"
+C3_HIER_16BAR = Config(
+    name="c3_hier_16bar",
+    model=ModelSpec(kind="hier", num_bars=16, z_dim=64, z_phrase_dim=256),
+    train=TrainSpec(batch_size=128, remat_encoder=True),
+)
+
+# C4: "Conditional VAE (chord/key conditioning) + binarized sampling,
+#      batch 256 on v4-8"
+C4_COND = Config(
+    name="c4_cond",
+    model=ModelSpec(kind="cond", num_bars=4, z_dim=128),
+    train=TrainSpec(batch_size=256),
+    mesh=MeshSpec(data=8),
+)
+
+# C5: "64-bar autoregressive generation with latent interpolation, batched
+#      1k-sample sweep on v5e-8"
+C5_GEN_SWEEP = Config(
+    name="c5_gen_sweep",
+    model=ModelSpec(kind="gru_seq", num_bars=4, z_dim=128),
+    gen=GenSpec(num_bars=64, num_samples=1024, interpolate=True),
+    mesh=MeshSpec(data=8),
+)
+
+_CONFIGS = {c.name: c for c in
+            (C1_CONV_BAR, C2_GRU_4BAR, C3_HIER_16BAR, C4_COND, C5_GEN_SWEEP)}
+
+
+def get_config(name: str) -> Config:
+    """Look up one of the five canonical configs by name."""
+    try:
+        return _CONFIGS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown config {name!r}; available: {sorted(_CONFIGS)}") from None
+
+
+def all_config_names() -> Tuple[str, ...]:
+    return tuple(sorted(_CONFIGS))

@@ -1,0 +1,118 @@
+"""Bar-by-bar autoregressive generation + latent interpolation sweeps.
+
+Reference behavior (BASELINE.json, SURVEY §3.3): a host-side Python loop —
+per bar: sample z → decode(z, prev bar) → binarize → feed back — one device
+round-trip per bar. Rebuild: the whole loop is the scanned BarCell inside
+models/vae.py (``PianoRollVAE.generate``), so an entire 64-bar, 1k-sample
+sweep (BASELINE config 5) is ONE jitted device program: latent path sampling,
+per-bar decode, binarize, and feedback all stay on-TPU.
+
+Latent paths:
+- sampled: one z ~ N(0,I) per phrase (phrase = model.num_bars bars), held
+  constant within the phrase; the seq-GRU state resets at phrase starts.
+- interpolated (C5): z slerps from z_a to z_b across phrases
+  (models/latent.slerp).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from musicvae_tpu.config import Config
+from musicvae_tpu.midi import tensorize
+from musicvae_tpu.models.latent import slerp
+from musicvae_tpu.models.vae import PianoRollVAE, build_model
+
+
+def latent_path(key: jax.Array, cfg: Config, batch: int, num_bars: int,
+                interpolate: bool, temperature: float = 1.0
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Per-bar latent path z[B, num_bars, z] and GRU reset mask [B, num_bars].
+
+    Pure function of the PRNG key — safe inside jit.
+    """
+    z_dim = cfg.model.z_dim
+    phrase = max(1, cfg.model.num_bars)
+    n_phrases = -(-num_bars // phrase)
+    if interpolate:
+        k_a, k_b = jax.random.split(key)
+        z_a = jax.random.normal(k_a, (batch, z_dim)) * temperature
+        z_b = jax.random.normal(k_b, (batch, z_dim)) * temperature
+        ts = jnp.linspace(0.0, 1.0, max(n_phrases, 2))[:n_phrases]
+        # [n_phrases, B, z] → phrase-major path
+        z_phrases = jax.vmap(lambda t: slerp(z_a, z_b, t))(ts)
+    else:
+        z_phrases = jax.random.normal(
+            key, (n_phrases, batch, z_dim)) * temperature
+    z_bars = jnp.repeat(z_phrases, phrase, axis=0)[:num_bars]    # [N,B,z]
+    z_bars = jnp.swapaxes(z_bars, 0, 1)                          # [B,N,z]
+    bar_idx = jnp.arange(num_bars)
+    reset = jnp.broadcast_to((bar_idx % phrase == 0).astype(jnp.float32),
+                             (batch, num_bars))
+    return z_bars, reset
+
+
+def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None):
+    """Jitted end-to-end sweep: (params, key, *cond) → binarized bars.
+
+    Returns fn(params, key, seed_bar=None, chord=None, key_sig=None)
+    → bars [num_samples, num_bars, T, P] float32 in {0,1}.
+    """
+    model = model or build_model(cfg)
+    g = cfg.gen
+    batch, num_bars = g.num_samples, g.num_bars
+
+    @jax.jit
+    def generate(params, key, seed_bar=None, chord=None, key_sig=None):
+        k_z, k_p = jax.random.split(key)
+        z_bars, reset = latent_path(k_z, cfg, batch, num_bars,
+                                    g.interpolate, g.temperature)
+        kw: Dict = {}
+        if cfg.model.kind == "cond":
+            if chord is None:
+                chord = jax.random.randint(
+                    k_p, (batch, num_bars), 0, cfg.model.cond_chord_classes)
+            if key_sig is None:
+                key_sig = jax.random.randint(
+                    k_p, (batch,), 0, cfg.model.cond_key_classes)
+            kw = {"chord": chord, "key_sig": key_sig}
+        z_phrase = None
+        if cfg.model.kind == "hier":
+            z_phrase = jax.random.normal(
+                k_p, (batch, cfg.model.z_phrase_dim)) * g.temperature
+        _, bars = model.apply({"params": params}, z_bars, reset,
+                              seed_bar, **kw, z_phrase=z_phrase,
+                              method=model.generate)
+        return bars
+
+    return generate
+
+
+def reconstruct_fn(cfg: Config, model: Optional[PianoRollVAE] = None):
+    """Jitted reconstruction: encode → posterior sample → teacher-forced
+    decode → binarize (the reference's eval-time reconstruct)."""
+    model = model or build_model(cfg)
+
+    @jax.jit
+    def reconstruct(params, x, key, chord=None, key_sig=None):
+        kw = {}
+        if cfg.model.kind == "cond":
+            kw = {"chord": chord, "key_sig": key_sig}
+        logits, _ = model.apply({"params": params}, x, **kw,
+                                rngs={"latent": key})
+        from musicvae_tpu.ops.binarize import binarize_logits
+        from musicvae_tpu.midi.tensorize import pitch_mask
+        return binarize_logits(logits, cfg.midi.binarize_threshold,
+                               pitch_mask(cfg.midi))
+
+    return reconstruct
+
+
+def bars_to_midi(bars, cfg: Config) -> bytes:
+    """Host-side export of one generated sample: [N,T,P] → SMF bytes."""
+    return tensorize.bars_to_midi_bytes(np.asarray(bars), cfg.midi)

@@ -1,0 +1,204 @@
+"""Standard MIDI File (SMF) reader/writer — pure Python, host side.
+
+The reference repo parses MIDI with ``pretty_midi`` (BASELINE.json
+north_star); that library is unavailable in this image, so the framework
+ships its own minimal, well-tested SMF codec. Semantics are normative in
+midi/SEMANTICS.md §1 and §7.
+
+Only what the tensorizer needs is extracted: note intervals in ticks plus the
+file's ticks-per-quarter resolution. A fast C++ implementation of the parse
+hot loop lives in musicvae_tpu/native (used automatically when built); this
+module is the reference implementation and fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Note:
+    pitch: int        # 0..127
+    start_tick: int   # absolute ticks, >= 0
+    end_tick: int     # absolute ticks, > start_tick (after open-note closing)
+    velocity: int     # 1..127 (onset velocity)
+
+
+@dataclasses.dataclass(frozen=True)
+class MidiFile:
+    ticks_per_quarter: int
+    notes: Tuple[Note, ...]          # sorted by (start_tick, pitch, end_tick)
+    tempo_us_per_quarter: int = 500_000   # first tempo meta, default 120bpm
+
+
+class SMFError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# Reading
+# --------------------------------------------------------------------------
+
+def _read_varlen(data: bytes, pos: int) -> Tuple[int, int]:
+    """Variable-length quantity; returns (value, new_pos)."""
+    value = 0
+    for _ in range(4):
+        if pos >= len(data):
+            raise SMFError("truncated varlen")
+        byte = data[pos]
+        pos += 1
+        value = (value << 7) | (byte & 0x7F)
+        if not byte & 0x80:
+            return value, pos
+    raise SMFError("varlen too long")
+
+
+def parse_smf(data: bytes) -> MidiFile:
+    """Parse SMF bytes (format 0/1) into a merged, sorted note list.
+
+    SEMANTICS.md §1: tracks merged, channels ignored, note_on vel=0 is
+    note_off, FIFO open-note matching, open notes closed at track end.
+    """
+    if len(data) < 14 or data[:4] != b"MThd":
+        raise SMFError("not an SMF file (missing MThd)")
+    hlen, fmt, ntrks, division = struct.unpack(">IHHH", data[4:14])
+    if hlen < 6:
+        raise SMFError("bad MThd length")
+    if division & 0x8000:
+        raise SMFError("SMPTE division unsupported (SEMANTICS.md §1)")
+    if division == 0:
+        raise SMFError("zero ticks-per-quarter")
+    if fmt not in (0, 1):
+        raise SMFError(f"unsupported SMF format {fmt}")
+
+    pos = 8 + hlen
+    notes: List[Note] = []
+    tempo: Optional[int] = None
+
+    for _ in range(ntrks):
+        if pos + 8 > len(data):
+            break  # tolerate short files with fewer tracks than declared
+        if data[pos:pos + 4] != b"MTrk":
+            raise SMFError("expected MTrk chunk")
+        (tlen,) = struct.unpack(">I", data[pos + 4:pos + 8])
+        track = data[pos + 8:pos + 8 + tlen]
+        pos += 8 + tlen
+
+        tick = 0
+        running_status = 0
+        # FIFO of open (start_tick, velocity) per pitch
+        open_notes: dict = {}
+        tpos = 0
+        last_tick = 0
+        while tpos < len(track):
+            delta, tpos = _read_varlen(track, tpos)
+            tick += delta
+            last_tick = tick
+            status = track[tpos]
+            if status & 0x80:
+                tpos += 1
+                if status < 0xF0:
+                    running_status = status
+            else:
+                if running_status == 0:
+                    raise SMFError("data byte without running status")
+                status = running_status
+
+            kind = status & 0xF0
+            if kind in (0x80, 0x90):  # note off / note on
+                if tpos + 2 > len(track):
+                    raise SMFError("truncated note event")
+                pitch, vel = track[tpos], track[tpos + 1]
+                tpos += 2
+                is_on = kind == 0x90 and vel > 0
+                if is_on:
+                    open_notes.setdefault(pitch, []).append((tick, vel))
+                else:
+                    stack = open_notes.get(pitch)
+                    if stack:
+                        start, v = stack.pop(0)  # FIFO (§1)
+                        if tick > start:
+                            notes.append(Note(pitch, start, tick, v))
+                        # zero-length in ticks: dropped here; quantization
+                        # min-length (§2) only applies to tick-positive notes
+            elif kind in (0xA0, 0xB0, 0xE0):  # 2-byte channel messages
+                tpos += 2
+            elif kind in (0xC0, 0xD0):        # 1-byte channel messages
+                tpos += 1
+            elif status == 0xFF:              # meta
+                if tpos >= len(track):
+                    raise SMFError("truncated meta event")
+                meta_type = track[tpos]
+                tpos += 1
+                mlen, tpos = _read_varlen(track, tpos)
+                payload = track[tpos:tpos + mlen]
+                tpos += mlen
+                if meta_type == 0x51 and mlen == 3 and tempo is None:
+                    tempo = int.from_bytes(payload, "big")
+                if meta_type == 0x2F:         # end of track
+                    break
+            elif status in (0xF0, 0xF7):      # sysex
+                slen, tpos = _read_varlen(track, tpos)
+                tpos += slen
+            else:
+                raise SMFError(f"unknown status byte 0x{status:02x}")
+
+        # close notes left open at end of track (§1)
+        for pitch, stack in open_notes.items():
+            for start, v in stack:
+                if last_tick > start:
+                    notes.append(Note(pitch, start, last_tick, v))
+
+    notes.sort(key=lambda n: (n.start_tick, n.pitch, n.end_tick))
+    return MidiFile(
+        ticks_per_quarter=division,
+        notes=tuple(notes),
+        tempo_us_per_quarter=tempo if tempo is not None else 500_000,
+    )
+
+
+# --------------------------------------------------------------------------
+# Writing
+# --------------------------------------------------------------------------
+
+def _varlen(value: int) -> bytes:
+    if value < 0:
+        raise SMFError("negative varlen")
+    out = bytearray([value & 0x7F])
+    value >>= 7
+    while value:
+        out.insert(0, 0x80 | (value & 0x7F))
+        value >>= 7
+    return bytes(out)
+
+
+def write_smf(
+    notes: List[Note],
+    ticks_per_quarter: int = 480,
+    tempo_us_per_quarter: int = 500_000,
+    velocity: Optional[int] = None,
+) -> bytes:
+    """Serialize notes to SMF format 0 (SEMANTICS.md §7)."""
+    events: List[Tuple[int, int, bytes]] = []  # (tick, order, payload)
+    for n in notes:
+        vel = velocity if velocity is not None else n.velocity
+        # order: note_offs (0) before note_ons (1) at the same tick, so
+        # back-to-back runs re-parse as separate notes.
+        events.append((n.start_tick, 1, bytes([0x90, n.pitch, vel])))
+        events.append((n.end_tick, 0, bytes([0x80, n.pitch, 0])))
+    events.sort(key=lambda e: (e[0], e[1]))
+
+    track = bytearray()
+    track += _varlen(0) + bytes([0xFF, 0x51, 0x03])
+    track += tempo_us_per_quarter.to_bytes(3, "big")
+    track += _varlen(0) + bytes([0xFF, 0x58, 0x04, 4, 2, 24, 8])  # 4/4
+    last_tick = 0
+    for tick, _, payload in events:
+        track += _varlen(tick - last_tick) + payload
+        last_tick = tick
+    track += _varlen(0) + bytes([0xFF, 0x2F, 0x00])  # end of track
+
+    header = struct.pack(">4sIHHH", b"MThd", 6, 0, 1, ticks_per_quarter)
+    return header + struct.pack(">4sI", b"MTrk", len(track)) + bytes(track)

@@ -1,0 +1,160 @@
+"""Jit-able MIDI tensorization: quantize → rasterize → bar-chunk → crop.
+
+The reference's tensorization (pretty_midi parse, quantize, bar-chunking,
+pitch-range crop — BASELINE.json north_star) runs host-side in Python; here
+everything after the byte-level parse is a pure ``jax.numpy`` stage operating
+on fixed-shape padded event arrays, so it jits, vmaps over files, and runs
+on-device (the BASELINE "jit-able on-device preprocessing stage").
+
+Normative semantics: midi/SEMANTICS.md §§2–5. The torch oracle
+(tests/oracle/oracle_tensorize.py) implements the same equations; parity is
+bit-exact.
+
+Algorithm (no dynamic shapes): each note contributes +1 at (s_on, pitch) and
+-1 at (s_off, pitch) into a delta grid [T+1, 128]; an inclusive cumulative
+sum over time yields live-note counts; the roll is (count > 0). Padded event
+slots use s_on == s_off == 0 so their contributions cancel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from musicvae_tpu.config import MidiSpec
+from musicvae_tpu.midi import smf
+
+
+def quantize_ticks(ticks: np.ndarray, tpq: int, steps_per_quarter: int
+                   ) -> np.ndarray:
+    """SEMANTICS.md §2: step(t) = floor(t*spq/tpq + 1/2), exact integers."""
+    t = np.asarray(ticks, dtype=np.int64)
+    return (2 * t * steps_per_quarter + tpq) // (2 * tpq)
+
+
+def notes_to_events(
+    midi: smf.MidiFile,
+    spec: MidiSpec,
+    max_events: int,
+) -> Tuple[np.ndarray, int]:
+    """Host-side: quantize a parsed MIDI file into a padded event tensor.
+
+    Returns (events[max_events, 3] int32 with columns (s_on, s_off, pitch),
+    total_steps) where total_steps is the §3 bar-padded length. Padded slots
+    are all-zero (s_on == s_off ⇒ no contribution).
+    """
+    spq = spec.steps_per_quarter
+    spb = spec.steps_per_bar
+    n = len(midi.notes)
+    if n > max_events:
+        raise ValueError(f"{n} notes > max_events={max_events}")
+    events = np.zeros((max_events, 3), dtype=np.int32)
+    max_off = 0
+    if n:
+        starts = quantize_ticks(
+            np.array([nt.start_tick for nt in midi.notes]),
+            midi.ticks_per_quarter, spq)
+        ends = quantize_ticks(
+            np.array([nt.end_tick for nt in midi.notes]),
+            midi.ticks_per_quarter, spq)
+        ends = np.maximum(ends, starts + 1)          # §2 min length 1
+        pitches = np.array([nt.pitch for nt in midi.notes], dtype=np.int64)
+        events[:n, 0] = starts
+        events[:n, 1] = ends
+        events[:n, 2] = pitches
+        max_off = int(ends.max())
+    total_steps = max(1, -(-max_off // spb)) * spb   # §3: ceil to bars, >= 1
+    return events, total_steps
+
+
+@functools.partial(jax.jit, static_argnames=("total_steps", "num_pitches"))
+def events_to_roll(events: jax.Array, total_steps: int,
+                   num_pitches: int = 128) -> jax.Array:
+    """Device-side rasterization (§3). events[N,3] int32 → roll[T,P] f32.
+
+    Events whose s_off exceeds total_steps are clipped; events entirely
+    outside [0, total_steps) contribute nothing.
+    """
+    s_on = jnp.clip(events[:, 0], 0, total_steps)
+    s_off = jnp.clip(events[:, 1], 0, total_steps)
+    pitch = jnp.clip(events[:, 2], 0, num_pitches - 1)
+    delta = jnp.zeros((total_steps + 1, num_pitches), dtype=jnp.int32)
+    delta = delta.at[s_on, pitch].add(1)
+    delta = delta.at[s_off, pitch].add(-1)
+    count = jnp.cumsum(delta[:-1], axis=0)
+    return (count > 0).astype(jnp.float32)
+
+
+def chunk_bars(roll: jax.Array, steps_per_bar: int = 96) -> jax.Array:
+    """§4: roll[T,P] → bars[T/spb, spb, P] by reshape (T must divide)."""
+    t, p = roll.shape
+    if t % steps_per_bar:
+        raise ValueError(f"T={t} not a multiple of steps_per_bar")
+    return roll.reshape(t // steps_per_bar, steps_per_bar, p)
+
+
+def pitch_mask(spec: MidiSpec) -> jnp.ndarray:
+    """§5 crop mask over the 128-wide pitch axis: 1 inside [lo, hi)."""
+    p = jnp.arange(spec.num_pitches)
+    return ((p >= spec.pitch_lo) & (p < spec.pitch_hi)).astype(jnp.float32)
+
+
+def crop_view(roll_or_bars: jax.Array, spec: MidiSpec) -> jax.Array:
+    """§5 hard slice along the last (pitch) axis, for export."""
+    return roll_or_bars[..., spec.pitch_lo:spec.pitch_hi]
+
+
+def midi_bytes_to_bars(data: bytes, spec: MidiSpec,
+                       max_events: int = 4096) -> jax.Array:
+    """Full pipeline: SMF bytes → bars[n_bars, steps_per_bar, 128] float32."""
+    midi = smf.parse_smf(data)
+    events, total_steps = notes_to_events(midi, spec, max_events)
+    roll = events_to_roll(jnp.asarray(events), total_steps, spec.num_pitches)
+    return chunk_bars(roll, spec.steps_per_bar)
+
+
+# --------------------------------------------------------------------------
+# Inverse path: roll → notes → SMF bytes (SEMANTICS.md §7)
+# --------------------------------------------------------------------------
+
+def roll_to_notes(roll: np.ndarray, spec: MidiSpec,
+                  ticks_per_quarter: int = 480) -> list:
+    """Maximal horizontal runs of 1s become notes (host side, numpy)."""
+    roll = np.asarray(roll)
+    if roll.ndim == 3:  # bars → flat roll
+        roll = roll.reshape(-1, roll.shape[-1])
+    binary = roll > spec.binarize_threshold if roll.dtype.kind == "f" \
+        else roll.astype(bool)
+    ticks_per_step = ticks_per_quarter // spec.steps_per_quarter
+    if ticks_per_quarter % spec.steps_per_quarter:
+        raise ValueError("tpq must be a multiple of steps_per_quarter "
+                         "for exact round-trip (SEMANTICS.md §7)")
+    t_total = binary.shape[0]
+    notes = []
+    for p in range(binary.shape[1]):
+        col = binary[:, p]
+        # run boundaries: diff of padded column
+        padded = np.concatenate([[False], col, [False]])
+        starts = np.flatnonzero(padded[1:] & ~padded[:-1])
+        ends = np.flatnonzero(~padded[1:] & padded[:-1])
+        for s, e in zip(starts, ends):
+            notes.append(smf.Note(
+                pitch=p,
+                start_tick=int(s) * ticks_per_step,
+                end_tick=int(e) * ticks_per_step,
+                velocity=spec.velocity,
+            ))
+    notes.sort(key=lambda n: (n.start_tick, n.pitch, n.end_tick))
+    return notes
+
+
+def bars_to_midi_bytes(bars: np.ndarray, spec: MidiSpec,
+                       ticks_per_quarter: int = 480) -> bytes:
+    notes = roll_to_notes(np.asarray(bars), spec, ticks_per_quarter)
+    tempo = int(round(60_000_000 / spec.tempo_bpm))
+    return smf.write_smf(notes, ticks_per_quarter, tempo,
+                         velocity=spec.velocity)

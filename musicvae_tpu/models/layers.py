@@ -1,0 +1,125 @@
+"""Shared neural building blocks (flax.linen), TPU-first shapes.
+
+Design notes (vs the reference's torch modules, SURVEY §2.1 #4/#7/#8):
+- The pitch axis stays 128-wide end to end — the TPU lane dimension — so
+  every conv/matmul tiles cleanly onto the MXU; pitch-crop is a loss mask,
+  not a shape change (SEMANTICS.md §5).
+- Compute dtype is configurable (bfloat16 by default, fp32 params); conv
+  stacks are stride-2 pyramids 96×128 → 3×4 so the flatten→dense latent
+  heads stay small (~1M params total for C1, per BASELINE config 1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _dtype(name: str) -> jnp.dtype:
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class ConvTrunk(nn.Module):
+    """Stride-2 conv pyramid over a single bar roll: [B,T,P,1] → [B,F]."""
+
+    channels: Sequence[int]
+    dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dt = _dtype(self.dtype)
+        h = x.astype(dt)
+        for ch in self.channels:
+            h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=dt, param_dtype=jnp.float32)(h)
+            h = nn.gelu(h)
+        return h.reshape(h.shape[0], -1)
+
+
+class BarFeat(nn.Module):
+    """Per-bar feature vector for GRU inputs / prev-bar conditioning."""
+
+    feat_dim: int
+    channels: Sequence[int]
+    dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, bar: jax.Array) -> jax.Array:
+        # bar: [B, T, P] binary roll
+        h = ConvTrunk(self.channels, self.dtype)(bar[..., None])
+        h = nn.Dense(self.feat_dim, dtype=_dtype(self.dtype),
+                     param_dtype=jnp.float32)(h)
+        return nn.tanh(h)
+
+
+class GaussianHead(nn.Module):
+    """Dense → (mu, logvar); logvar soft-clamped for stability."""
+
+    z_dim: int
+    dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, h: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        dt = _dtype(self.dtype)
+        out = nn.Dense(2 * self.z_dim, dtype=dt,
+                       param_dtype=jnp.float32)(h)
+        mu, logvar = jnp.split(out.astype(jnp.float32), 2, axis=-1)
+        logvar = 8.0 * jnp.tanh(logvar / 8.0)  # keep exp() sane
+        return mu, logvar
+
+
+class BarDecoderHead(nn.Module):
+    """Vector → single-bar logits: [B,D] → [B,T,P] (deconv pyramid)."""
+
+    channels: Sequence[int]                    # e.g. (128, 128, 64, 32, 16)
+    steps_per_bar: int = 96
+    num_pitches: int = 128
+    dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, v: jax.Array) -> jax.Array:
+        dt = _dtype(self.dtype)
+        n_up = len(self.channels)
+        t0 = self.steps_per_bar // (2 ** n_up)
+        p0 = self.num_pitches // (2 ** n_up)
+        h = nn.Dense(t0 * p0 * self.channels[0], dtype=dt,
+                     param_dtype=jnp.float32)(v.astype(dt))
+        h = nn.gelu(h)
+        h = h.reshape(h.shape[0], t0, p0, self.channels[0])
+        for ch in self.channels[1:]:
+            h = nn.ConvTranspose(ch, (3, 3), strides=(2, 2), padding="SAME",
+                                 dtype=dt, param_dtype=jnp.float32)(h)
+            h = nn.gelu(h)
+        # final x2 upsample to (T, P) with a 1-channel head
+        h = nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="SAME",
+                             dtype=dt, param_dtype=jnp.float32)(h)
+        return h[..., 0].astype(jnp.float32)   # logits in fp32
+
+
+class ScanGRU(nn.Module):
+    """GRU over the bar axis: inputs [B,N,D] (+init h) → hiddens [B,N,H]."""
+
+    hidden: int
+    dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array,
+                 init_h: jax.Array | None = None) -> jax.Array:
+        dt = _dtype(self.dtype)
+        cell = nn.GRUCell(features=self.hidden, dtype=dt,
+                          param_dtype=jnp.float32)
+        if init_h is None:
+            init_h = jnp.zeros((inputs.shape[0], self.hidden), dt)
+        scan = nn.scan(
+            lambda c, carry, x: c(carry, x),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1, out_axes=1,
+        )
+        _, ys = scan(cell, init_h.astype(dt), inputs.astype(dt))
+        return ys

@@ -1,0 +1,79 @@
+"""Masked piano-roll BCE + KL-annealed ELBO — reference jnp implementation.
+
+The reference trains a "masked piano-roll BCE + KL-annealed ELBO"
+(BASELINE.json north_star). This module is the numerically-defined ground
+truth for that loss; musicvae_tpu/ops/fused_elbo.py provides the fused
+Pallas TPU kernel that must match it (tests/test_fused_elbo.py asserts
+fwd ≤ 1e-5 rel and grads ≤ 1e-6 abs agreement, the SURVEY §7.3 bar).
+
+Conventions (mirrored by tests/oracle/oracle_loss.py):
+- ``logits``/``x`` have shape [..., T, P]; the mask broadcasts against them
+  (typically the [P]-shaped pitch-crop mask from midi.tensorize.pitch_mask).
+- recon = sum over masked cells of BCE-with-logits, divided by batch size
+  (sum-per-sample, mean-over-batch).
+- kl = -0.5 * sum(1 + logvar - mu^2 - exp(logvar)) per sample, mean-over-batch.
+- elbo_loss = recon + beta * kl   (the minimized objective).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Numerically stable per-cell binary cross entropy from logits.
+
+    max(l, 0) - l*x + log1p(exp(-|l|)) — identical formula in the torch
+    oracle (it is torch's own BCEWithLogits formulation).
+    """
+    return (jnp.maximum(logits, 0.0) - logits * targets
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def masked_bce_sum(logits: jax.Array, targets: jax.Array,
+                   mask: jax.Array) -> jax.Array:
+    """Sum of masked per-cell BCE over ALL axes (batch included)."""
+    return jnp.sum(bce_with_logits(logits, targets) * mask)
+
+
+def kl_diag_gaussian(mu: jax.Array, logvar: jax.Array) -> jax.Array:
+    """KL(N(mu, diag(exp(logvar))) || N(0, I)), summed over ALL axes."""
+    return -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))
+
+
+def elbo_loss(
+    logits: jax.Array,
+    targets: jax.Array,
+    mask: jax.Array,
+    mu: jax.Array,
+    logvar: jax.Array,
+    beta: jax.Array,
+) -> Tuple[jax.Array, dict]:
+    """Minimized objective: recon + beta*kl, batch-mean. Returns (loss, aux).
+
+    ``mu``/``logvar`` may be a single [B, z] pair or, for hierarchical
+    models, pytrees handled by the caller — this function takes one level;
+    models with multiple latent levels sum their KLs before annealing.
+    """
+    batch = logits.shape[0]
+    recon = masked_bce_sum(logits, targets, mask) / batch
+    kl = kl_diag_gaussian(mu, logvar) / batch
+    loss = recon + beta * kl
+    return loss, {"loss": loss, "recon": recon, "kl": kl, "beta": beta}
+
+
+def beta_schedule(step: jax.Array, beta_max: float, warmup_steps: int,
+                  hold_steps: int = 0) -> jax.Array:
+    """KL-annealing weight: 0 for hold_steps, then linear ramp to beta_max.
+
+    Pure function of the step counter so it lives inside the jitted train
+    step (no host-side schedule state).
+    """
+    s = jnp.maximum(step - hold_steps, 0).astype(jnp.float32)
+    if warmup_steps <= 0:
+        return jnp.asarray(beta_max, jnp.float32)
+    frac = jnp.minimum(s / float(warmup_steps), 1.0)
+    return frac * beta_max

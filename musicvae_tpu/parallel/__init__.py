@@ -1,0 +1,6 @@
+"""Mesh/sharding layer: DP over 'data', optional TP over 'model'."""
+
+from musicvae_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS, MODEL_AXIS,
+    batch_sharding, make_mesh, replicated, shard_batch,
+)

@@ -1,0 +1,4 @@
+from musicvae_tpu.train.trainer import (  # noqa: F401
+    TrainState, create_state, elbo_from_outputs, make_eval_step,
+    make_optimizer, make_train_step, train,
+)

@@ -1,0 +1,173 @@
+"""Jitted, donated ELBO train step + host epoch loop (SURVEY §2.1 #10, §3.2).
+
+Reference behavior (BASELINE.json): batch → forward (encoder →
+reparameterize → decoder) → masked-BCE + KL-annealed ELBO → backward →
+Adam step, with per-step KL-β schedule and periodic checkpoints. In this
+rebuild the whole step body — including the β schedule, PRNG splitting and
+optimizer update — is ONE donated jitted function; the host loop only feeds
+batches and triggers checkpoint/log I/O (SURVEY §3.2 rebuild note).
+
+Data parallelism: the step is jitted over the ('data','model') mesh with the
+batch sharded on 'data' and state replicated; XLA inserts the grad psum over
+ICI (SURVEY §2.2). The identical code runs on 1 chip (1x1 mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from musicvae_tpu.config import Config
+from musicvae_tpu.midi.tensorize import pitch_mask
+from musicvae_tpu.models.vae import build_model, init_params
+from musicvae_tpu.ops import losses
+from musicvae_tpu.parallel import mesh as pmesh
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array          # int32 scalar
+    rng: jax.Array           # PRNG key, split on-device each step
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    chain = []
+    if t.grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(t.grad_clip_norm))
+    if t.weight_decay > 0:
+        chain.append(optax.adamw(t.learning_rate, b1=t.adam_b1, b2=t.adam_b2,
+                                 weight_decay=t.weight_decay))
+    else:
+        chain.append(optax.adam(t.learning_rate, b1=t.adam_b1, b2=t.adam_b2))
+    return optax.chain(*chain)
+
+
+def create_state(cfg: Config, rng: Optional[jax.Array] = None
+                 ) -> Tuple[Any, TrainState]:
+    rng = rng if rng is not None else jax.random.key(cfg.train.seed)
+    init_rng, loop_rng = jax.random.split(rng)
+    model, params = init_params(cfg, init_rng)
+    opt = make_optimizer(cfg)
+    return model, TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=loop_rng,
+    )
+
+
+def elbo_from_outputs(cfg: Config, logits, x, latents, beta,
+                      use_pallas: bool = False):
+    """recon + beta * (sum of per-level KLs), batch-mean (ops/losses.py).
+
+    When ``use_pallas`` the masked-BCE reduction runs through the fused
+    Pallas TPU kernel (ops/fused_elbo.py); numerics match the jnp path to
+    the tolerance asserted in tests/test_fused_elbo.py.
+    """
+    mask = pitch_mask(cfg.midi)
+    batch = logits.shape[0]
+    if use_pallas:
+        from musicvae_tpu.ops.fused_elbo import masked_bce_sum_pallas
+        recon = masked_bce_sum_pallas(logits, x, mask) / batch
+    else:
+        recon = losses.masked_bce_sum(logits, x, mask) / batch
+    kl = sum(losses.kl_diag_gaussian(mu, lv) for mu, lv in latents) / batch
+    loss = recon + beta * kl
+    return loss, {"loss": loss, "recon": recon, "kl": kl, "beta": beta}
+
+
+def make_train_step(cfg: Config, model, opt=None,
+                    use_pallas: Optional[bool] = None) -> Callable:
+    """Build the donated, jitted train step: (state, batch) → (state, metrics).
+
+    batch: {"x": [B,N,T,P] f32, optional "chord": [B,N] i32, "key_sig": [B] i32}
+    """
+    opt = opt or make_optimizer(cfg)
+    if use_pallas is None:
+        use_pallas = (cfg.train.use_pallas_loss
+                      and jax.default_backend() == "tpu")
+    t = cfg.train
+
+    def loss_fn(params, batch, latent_rng, beta):
+        kw = {}
+        if cfg.model.kind == "cond":
+            kw = {"chord": batch["chord"], "key_sig": batch["key_sig"]}
+        logits, latents = model.apply({"params": params}, batch["x"], **kw,
+                                      rngs={"latent": latent_rng})
+        return elbo_from_outputs(cfg, logits, batch["x"], latents, beta,
+                                 use_pallas)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        beta = losses.beta_schedule(state.step, t.beta_max,
+                                    t.beta_warmup_steps, t.beta_hold_steps)
+        step_rng, next_rng = jax.random.split(state.rng)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, step_rng, beta)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(params=new_params, opt_state=new_opt,
+                                  step=state.step + 1, rng=next_rng)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: Config, model) -> Callable:
+    """Deterministic eval: posterior mean (z = mu), beta = beta_max."""
+
+    def eval_step(params, batch):
+        kw = {}
+        if cfg.model.kind == "cond":
+            kw = {"chord": batch["chord"], "key_sig": batch["key_sig"]}
+        # latent rng is required by the module; eval uses a fixed key, and
+        # reported metrics are the one-sample ELBO under that key.
+        logits, latents = model.apply({"params": params}, batch["x"], **kw,
+                                      rngs={"latent": jax.random.key(0)})
+        _, m = elbo_from_outputs(cfg, logits, batch["x"], latents,
+                                 jnp.asarray(cfg.train.beta_max))
+        return m
+
+    return jax.jit(eval_step)
+
+
+def train(cfg: Config,
+          data_iter: Iterator[Dict[str, Any]],
+          num_steps: Optional[int] = None,
+          mesh=None,
+          ckpt_manager=None,
+          log_fn: Optional[Callable[[int, Dict], None]] = None,
+          state: Optional[TrainState] = None):
+    """Host-side loop: shard batch → jitted step → periodic log/ckpt.
+
+    Returns (model, final_state, last_metrics).
+    """
+    mesh = mesh or pmesh.make_mesh(cfg.mesh)
+    model, fresh = create_state(cfg)
+    if state is None:
+        state = fresh
+    state = jax.device_put(state, pmesh.replicated(mesh))
+    step_fn = make_train_step(cfg, model)
+    num_steps = num_steps if num_steps is not None else cfg.train.num_steps
+
+    metrics = {}
+    step = 0  # host-side mirror of state.step: no per-step device sync
+    for _ in range(num_steps):
+        batch = pmesh.shard_batch(next(data_iter), mesh)
+        state, metrics = step_fn(state, batch)
+        step += 1
+        if log_fn is not None and step % cfg.train.log_every == 0:
+            log_fn(step, jax.device_get(metrics))
+        if ckpt_manager is not None and step % cfg.train.ckpt_every == 0:
+            from musicvae_tpu.checkpoints import io as ckpt_io
+            ckpt_io.save(ckpt_manager, state, cfg)
+    return model, state, metrics

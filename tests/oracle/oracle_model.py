@@ -1,0 +1,198 @@
+"""Torch-CPU oracle VAE (SURVEY §0.2/§4.1): the reference-equivalent PyTorch
+implementation of the BASELINE behavioral spec, used as
+
+1. the performance denominator ("reference PyTorch-CPU steps/sec",
+   BASELINE.md) — a plain torch research-repo training step, and
+2. the weight-parity target: checkpoints/torch_convert.py maps this model's
+   ``state_dict()`` onto the flax params, and tests assert ELBO parity
+   ("ELBO-equivalent reconstructions from the same checkpoints").
+
+Architecture mirrors musicvae_tpu/models exactly (same layer dims, same GRU
+equations, same tanh-GELU, same logvar soft-clamp) so parity is meaningful.
+Written in idiomatic single-device torch — per-bar Python loops, eager ops —
+the way the reference repo class does it (SURVEY §3.2/§3.3).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from musicvae_tpu.config import Config, MidiSpec, ModelSpec
+
+
+def _gelu():
+    return nn.GELU(approximate="tanh")   # == flax nn.gelu default
+
+
+class OracleBarFeat(nn.Module):
+    """conv trunk + dense + tanh == models.layers.BarFeat."""
+
+    def __init__(self, spec: ModelSpec, midi: MidiSpec, out_dim: int):
+        super().__init__()
+        chans = [1, *spec.enc_channels]
+        self.convs = nn.ModuleList(
+            nn.Conv2d(chans[i], chans[i + 1], 3, stride=2, padding=1)
+            for i in range(len(spec.enc_channels)))
+        t0 = midi.steps_per_bar // (2 ** len(spec.enc_channels))
+        p0 = midi.num_pitches // (2 ** len(spec.enc_channels))
+        self.fc = nn.Linear(t0 * p0 * spec.enc_channels[-1], out_dim)
+        self.act = _gelu()
+
+    def forward(self, bar: torch.Tensor) -> torch.Tensor:  # [B,T,P]
+        h = bar.unsqueeze(1)                               # NCHW
+        for c in self.convs:
+            h = self.act(c(h))
+        # flax flattens NHWC; permute to match its element order
+        h = h.permute(0, 2, 3, 1).reshape(h.shape[0], -1)
+        return torch.tanh(self.fc(h))
+
+
+class OracleTrunk(nn.Module):
+    """conv trunk only (C1 encoder) == models.layers.ConvTrunk."""
+
+    def __init__(self, spec: ModelSpec, midi: MidiSpec):
+        super().__init__()
+        chans = [1, *spec.enc_channels]
+        self.convs = nn.ModuleList(
+            nn.Conv2d(chans[i], chans[i + 1], 3, stride=2, padding=1)
+            for i in range(len(spec.enc_channels)))
+        self.act = _gelu()
+
+    def forward(self, bar: torch.Tensor) -> torch.Tensor:
+        h = bar.unsqueeze(1)
+        for c in self.convs:
+            h = self.act(c(h))
+        return h.permute(0, 2, 3, 1).reshape(h.shape[0], -1)
+
+
+class OracleHead(nn.Module):
+    """dense → deconv pyramid → [B,T,P] logits == models.layers.BarDecoderHead."""
+
+    def __init__(self, spec: ModelSpec, midi: MidiSpec, in_dim: int):
+        super().__init__()
+        n_up = len(spec.dec_channels)
+        self.t0 = midi.steps_per_bar // (2 ** n_up)
+        self.p0 = midi.num_pitches // (2 ** n_up)
+        self.c0 = spec.dec_channels[0]
+        self.fc = nn.Linear(in_dim, self.t0 * self.p0 * self.c0)
+        chans = [*spec.dec_channels, 1]
+        self.deconvs = nn.ModuleList(
+            nn.ConvTranspose2d(chans[i], chans[i + 1], 3, stride=2,
+                               padding=1, output_padding=1)
+            for i in range(len(spec.dec_channels)))
+        self.act = _gelu()
+
+    def forward(self, v: torch.Tensor) -> torch.Tensor:
+        h = self.act(self.fc(v))
+        # flax reshapes NHWC: [B, t0, p0, c0] then convs; mirror exactly
+        h = h.reshape(-1, self.t0, self.p0, self.c0).permute(0, 3, 1, 2)
+        for i, d in enumerate(self.deconvs):
+            h = d(h)
+            if i + 1 < len(self.deconvs):
+                h = self.act(h)
+        return h.squeeze(1)                                 # [B,T,P]
+
+
+def _clamp_logvar(lv: torch.Tensor) -> torch.Tensor:
+    return 8.0 * torch.tanh(lv / 8.0)
+
+
+class OracleVAE(nn.Module):
+    """conv_bar (C1) and gru_seq (C2) kinds; teacher-forced ELBO forward."""
+
+    def __init__(self, cfg: Config):
+        super().__init__()
+        spec, midi = cfg.model, cfg.midi
+        self.spec, self.midi = spec, midi
+        t0 = midi.steps_per_bar // (2 ** len(spec.enc_channels))
+        p0 = midi.num_pitches // (2 ** len(spec.enc_channels))
+        flat = t0 * p0 * spec.enc_channels[-1]
+        if spec.kind == "conv_bar":
+            self.enc_trunk = OracleTrunk(spec, midi)
+            self.z_head = nn.Linear(flat, 2 * spec.z_dim)
+            head_in = spec.z_dim + (spec.bar_feat_dim if spec.use_prev_bar
+                                    else 0)
+            self.head = OracleHead(spec, midi, head_in)
+            if spec.use_prev_bar:
+                self.prev_feat = OracleBarFeat(spec, midi, spec.bar_feat_dim)
+        elif spec.kind == "gru_seq":
+            self.enc_feat = OracleBarFeat(spec, midi, spec.bar_feat_dim)
+            self.enc_gru = nn.GRUCell(spec.bar_feat_dim, spec.gru_hidden)
+            self.z_head = nn.Linear(spec.gru_hidden, 2 * spec.z_dim)
+            self.h_init = nn.Linear(spec.z_dim, spec.gru_hidden)
+            self.prev_feat = OracleBarFeat(spec, midi, spec.bar_feat_dim)
+            self.dec_gru = nn.GRUCell(spec.z_dim + spec.bar_feat_dim,
+                                      spec.gru_hidden)
+            self.head = OracleHead(spec, midi, spec.gru_hidden)
+        else:
+            raise NotImplementedError(spec.kind)
+
+    def encode(self, x: torch.Tensor) -> Tuple[torch.Tensor, torch.Tensor]:
+        if self.spec.kind == "conv_bar":
+            out = self.z_head(self.enc_trunk(x[:, 0]))
+        else:
+            b, n = x.shape[:2]
+            f = self.enc_feat(x.reshape(b * n, *x.shape[2:]))
+            f = f.reshape(b, n, -1)
+            h = x.new_zeros(b, self.spec.gru_hidden)
+            for t in range(n):
+                h = self.enc_gru(f[:, t], h)
+            out = self.z_head(h)
+        mu, logvar = out.chunk(2, dim=-1)
+        return mu, _clamp_logvar(logvar)
+
+    def decode_teacher_forced(self, z: torch.Tensor,
+                              x: torch.Tensor) -> torch.Tensor:
+        b, n = x.shape[:2]
+        logits: List[torch.Tensor] = []
+        if self.spec.kind == "conv_bar":
+            for t in range(n):
+                vs = [z]
+                if self.spec.use_prev_bar:
+                    prev = (torch.zeros_like(x[:, 0]) if t == 0
+                            else x[:, t - 1])
+                    vs.append(self.prev_feat(prev))
+                logits.append(self.head(torch.cat(vs, dim=-1)))
+        else:
+            h = torch.tanh(self.h_init(z))
+            for t in range(n):
+                prev = torch.zeros_like(x[:, 0]) if t == 0 else x[:, t - 1]
+                feat = self.prev_feat(prev)
+                h = self.dec_gru(torch.cat([z, feat], dim=-1), h)
+                logits.append(self.head(h))
+        return torch.stack(logits, dim=1)
+
+    def forward(self, x: torch.Tensor, eps: Optional[torch.Tensor] = None):
+        mu, logvar = self.encode(x)
+        if eps is None:
+            eps = torch.randn_like(mu)
+        z = mu + eps * torch.exp(0.5 * logvar)
+        logits = self.decode_teacher_forced(z, x)
+        return logits, mu, logvar
+
+
+def oracle_elbo(logits: torch.Tensor, x: torch.Tensor, mask: torch.Tensor,
+                mu: torch.Tensor, logvar: torch.Tensor, beta: float):
+    """Same conventions as ops/losses.py (sum-per-sample, batch mean)."""
+    batch = logits.shape[0]
+    bce = F.binary_cross_entropy_with_logits(logits, x, reduction="none")
+    recon = (bce * mask).sum() / batch
+    kl = -0.5 * (1 + logvar - mu.pow(2) - logvar.exp()).sum() / batch
+    return recon + beta * kl, recon, kl
+
+
+def oracle_train_step(model: OracleVAE, opt: torch.optim.Optimizer,
+                      x: torch.Tensor, mask: torch.Tensor,
+                      beta: float) -> float:
+    """One reference-style train step (fwd → ELBO → backward → Adam)."""
+    opt.zero_grad()
+    logits, mu, logvar = model(x)
+    loss, _, _ = oracle_elbo(logits, x, mask, mu, logvar, beta)
+    loss.backward()
+    opt.step()
+    return float(loss.detach())

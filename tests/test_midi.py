@@ -1,0 +1,139 @@
+"""SMF codec + tensorizer tests: golden bytes, edge cases, round-trip
+(SURVEY §4.2/§4.3)."""
+
+import numpy as np
+import pytest
+
+from musicvae_tpu.config import MidiSpec
+from musicvae_tpu.midi import smf, tensorize
+
+SPEC = MidiSpec()
+
+
+def _smf_bytes(notes, tpq=480):
+    """Build SMF bytes via the writer (itself golden-tested below)."""
+    return smf.write_smf(
+        [smf.Note(p, on, off, 100) for (p, on, off) in notes],
+        ticks_per_quarter=tpq)
+
+
+# --- golden byte-level tests (hand-decoded expectations) --------------------
+
+def test_golden_header_and_track():
+    data = _smf_bytes([(60, 0, 480)], tpq=480)
+    assert data[:4] == b"MThd"
+    assert data[8:10] == b"\x00\x00"           # format 0
+    assert data[10:12] == b"\x00\x01"          # one track
+    assert data[12:14] == (480).to_bytes(2, "big")
+    assert data[14:18] == b"MTrk"
+
+
+def test_golden_parse_single_note():
+    # Hand-constructed format-0 file: tpq=96, note_on C4 at 0, off at 96.
+    track = bytes([
+        0x00, 0x90, 60, 100,      # delta 0, note on
+        0x60, 0x80, 60, 0,        # delta 96, note off
+        0x00, 0xFF, 0x2F, 0x00,   # end of track
+    ])
+    data = (b"MThd" + (6).to_bytes(4, "big") + b"\x00\x00\x00\x01"
+            + (96).to_bytes(2, "big")
+            + b"MTrk" + len(track).to_bytes(4, "big") + track)
+    midi = smf.parse_smf(data)
+    assert midi.ticks_per_quarter == 96
+    assert midi.notes == (smf.Note(60, 0, 96, 100),)
+
+
+def test_running_status_and_velocity0_noteoff():
+    # note_on with running status reuse; vel=0 acts as note_off.
+    track = bytes([
+        0x00, 0x90, 60, 100,
+        0x10, 62, 100,            # running status note_on
+        0x10, 60, 0,              # running status: vel 0 == note_off
+        0x10, 62, 0,
+        0x00, 0xFF, 0x2F, 0x00,
+    ])
+    data = (b"MThd" + (6).to_bytes(4, "big") + b"\x00\x00\x00\x01"
+            + (96).to_bytes(2, "big")
+            + b"MTrk" + len(track).to_bytes(4, "big") + track)
+    midi = smf.parse_smf(data)
+    assert midi.notes == (smf.Note(60, 0, 0x20, 100),
+                          smf.Note(62, 0x10, 0x30, 100))
+
+
+def test_smpte_division_rejected():
+    data = (b"MThd" + (6).to_bytes(4, "big") + b"\x00\x00\x00\x01"
+            + b"\xE7\x28")  # SMPTE
+    with pytest.raises(smf.SMFError):
+        smf.parse_smf(data)
+
+
+def test_open_note_closed_at_track_end():
+    track = bytes([
+        0x00, 0x90, 60, 100,
+        0x7F, 0xFF, 0x2F, 0x00,   # end of track at tick 127, note open
+    ])
+    data = (b"MThd" + (6).to_bytes(4, "big") + b"\x00\x00\x00\x01"
+            + (96).to_bytes(2, "big")
+            + b"MTrk" + len(track).to_bytes(4, "big") + track)
+    midi = smf.parse_smf(data)
+    assert midi.notes == (smf.Note(60, 0, 127, 100),)
+
+
+# --- quantization edge cases (SEMANTICS.md §2) ------------------------------
+
+def test_quantize_round_half_up():
+    # tpq=480 → 1 step = 20 ticks; 9 ticks→0, 10 ticks→1 (half up), 29→1, 30→2
+    q = tensorize.quantize_ticks(np.array([0, 9, 10, 29, 30]), 480, 24)
+    assert q.tolist() == [0, 0, 1, 1, 2]
+
+
+def test_zero_length_note_gets_one_step():
+    bars = tensorize.midi_bytes_to_bars(_smf_bytes([(60, 0, 5)]), SPEC)
+    roll = np.asarray(bars)
+    assert roll[0, 0, 60] == 1.0 and roll[0, 1, 60] == 0.0
+
+
+def test_note_crossing_bar_boundary():
+    # one bar = 96 steps = 1920 ticks at tpq 480; note spans 1900..1960
+    bars = tensorize.midi_bytes_to_bars(_smf_bytes([(64, 1900, 1960)]), SPEC)
+    roll = np.asarray(bars)
+    assert roll.shape[0] == 2
+    assert roll[0, 95, 64] == 1.0 and roll[1, 0, 64] == 1.0
+    assert roll[1, 2, 64] == 0.0   # ends at step 98 (exclusive)
+
+
+def test_overlapping_notes_union():
+    bars = tensorize.midi_bytes_to_bars(
+        _smf_bytes([(60, 0, 200), (60, 100, 300)]), SPEC)
+    roll = np.asarray(bars)
+    assert roll[0, : (2 * 300 * 24 + 480) // (2 * 480), 60].all()
+
+
+def test_empty_file_one_zero_bar():
+    bars = tensorize.midi_bytes_to_bars(_smf_bytes([]), SPEC)
+    assert np.asarray(bars).shape == (1, 96, 128)
+    assert not np.asarray(bars).any()
+
+
+def test_pitch_crop_mask_and_view():
+    spec = MidiSpec(pitch_lo=24, pitch_hi=108)
+    mask = np.asarray(tensorize.pitch_mask(spec))
+    assert mask.sum() == 84 and mask[23] == 0 and mask[24] == 1
+    bars = tensorize.midi_bytes_to_bars(_smf_bytes([(60, 0, 480)]), spec)
+    assert tensorize.crop_view(bars, spec).shape[-1] == 84
+
+
+# --- round-trip (SEMANTICS.md §7) -------------------------------------------
+
+def test_roll_midi_roll_roundtrip():
+    rng = np.random.default_rng(0)
+    bars = (rng.random((3, 96, 128)) < 0.05).astype(np.float32)
+    data = tensorize.bars_to_midi_bytes(bars, SPEC)
+    back = np.asarray(tensorize.midi_bytes_to_bars(data, SPEC))
+    np.testing.assert_array_equal(back, bars)
+
+
+def test_writer_parser_tempo():
+    data = tensorize.bars_to_midi_bytes(np.zeros((1, 96, 128)), SPEC)
+    midi = smf.parse_smf(data)
+    assert midi.tempo_us_per_quarter == 500_000  # 120 bpm

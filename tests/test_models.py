@@ -1,0 +1,79 @@
+"""Model-family forward/shape/determinism tests (SURVEY §4.2/§4.5)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from musicvae_tpu.config import (C1_CONV_BAR, C2_GRU_4BAR, C3_HIER_16BAR,
+                                 C4_COND)
+from musicvae_tpu.models import build_model, init_params
+
+from conftest import cpu_friendly
+
+CONFIGS = {
+    "c1": cpu_friendly(C1_CONV_BAR),
+    "c2": cpu_friendly(C2_GRU_4BAR),
+    "c3": cpu_friendly(C3_HIER_16BAR.replace(
+        model=dataclasses.replace(C3_HIER_16BAR.model, num_bars=4))),
+    "c4": cpu_friendly(C4_COND),
+}
+
+
+def _dummy_batch(cfg, batch=2):
+    x = jax.random.bernoulli(
+        jax.random.key(1),
+        0.1,
+        (batch, cfg.model.num_bars, cfg.midi.steps_per_bar,
+         cfg.midi.num_pitches)).astype(jnp.float32)
+    kw = {}
+    if cfg.model.kind == "cond":
+        kw = {"chord": jnp.ones((batch, cfg.model.num_bars), jnp.int32),
+              "key_sig": jnp.ones((batch,), jnp.int32)}
+    return x, kw
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_forward_shapes(name):
+    cfg = CONFIGS[name]
+    model, params = init_params(cfg, jax.random.key(0))
+    x, kw = _dummy_batch(cfg)
+    logits, latents = model.apply(
+        {"params": params}, x, **kw, rngs={"latent": jax.random.key(2)})
+    assert logits.shape == x.shape
+    assert logits.dtype == jnp.float32
+    n_levels = 2 if cfg.model.kind == "hier" else 1
+    assert len(latents) == n_levels
+    mu, logvar = latents[0]
+    assert jnp.all(jnp.isfinite(mu)) and jnp.all(jnp.isfinite(logvar))
+
+
+def test_forward_deterministic_under_fixed_rng():
+    cfg = CONFIGS["c2"]
+    model, params = init_params(cfg, jax.random.key(0))
+    x, kw = _dummy_batch(cfg)
+    out1, _ = model.apply({"params": params}, x,
+                          rngs={"latent": jax.random.key(7)})
+    out2, _ = model.apply({"params": params}, x,
+                          rngs={"latent": jax.random.key(7)})
+    assert jnp.array_equal(out1, out2)
+
+
+def test_c1_param_count_about_1m():
+    """BASELINE config 1: '~1M params'."""
+    _, params = init_params(C1_CONV_BAR, jax.random.key(0))
+    n = sum(p.size for p in jax.tree.leaves(params))
+    assert 3e5 < n < 3e6, f"C1 param count {n} out of the ~1M band"
+
+
+def test_generate_shapes_and_binary():
+    cfg = CONFIGS["c2"]
+    model, params = init_params(cfg, jax.random.key(0))
+    b, n = 2, 8
+    z = jax.random.normal(jax.random.key(3), (b, n, cfg.model.z_dim))
+    reset = jnp.zeros((b, n)).at[:, 0].set(1.0).at[:, 4].set(1.0)
+    logits, bars = model.apply({"params": params}, z, reset,
+                               method=model.generate)
+    assert bars.shape == (b, n, 96, 128)
+    assert set(jnp.unique(bars).tolist()) <= {0.0, 1.0}

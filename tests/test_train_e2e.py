@@ -1,0 +1,121 @@
+"""Minimum end-to-end slice (SURVEY §7.2) + property tests (§4.5):
+synthetic MIDI → parse → tensorize → train → ELBO decreases → on-device
+scan generation → binarize → MIDI bytes out → re-parse equals roll.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import cpu_friendly
+from musicvae_tpu.config import C1_CONV_BAR, C2_GRU_4BAR, GenSpec
+from musicvae_tpu.data import PianoRollDataset, synth_corpus
+from musicvae_tpu.generate import bars_to_midi, make_generate_fn
+from musicvae_tpu.midi import midi_bytes_to_bars
+from musicvae_tpu.models import build_model
+from musicvae_tpu.train import create_state, make_train_step
+
+
+def tiny(cfg, **model_kw):
+    """Shrink a config for fast CPU tests."""
+    model = dataclasses.replace(
+        cfg.model, enc_channels=(4, 8, 8, 8, 8), dec_channels=(8, 8, 8, 8, 8),
+        z_dim=16, gru_hidden=32, bar_feat_dim=32, dtype="float32", **model_kw)
+    train = dataclasses.replace(cfg.train, batch_size=8, learning_rate=2e-3)
+    return cfg.replace(model=model, train=train)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth_corpus(num_pieces=4, n_bars=8, seed=0)
+
+
+def _overfit(cfg, corpus, steps=40):
+    ds = PianoRollDataset.from_corpus(corpus, cfg.midi, cfg.model.num_bars)
+    batch = ds.batch(np.arange(cfg.train.batch_size) % len(ds))
+    model, state = create_state(cfg)
+    step_fn = make_train_step(cfg, model, use_pallas=False)
+    first = None
+    metrics = {}
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    return model, state, first, float(metrics["loss"])
+
+
+def test_c1_overfit_one_batch(corpus):
+    cfg = tiny(cpu_friendly(C1_CONV_BAR))
+    _, state, first, last = _overfit(cfg, corpus)
+    assert last < first * 0.7, f"ELBO did not decrease: {first} -> {last}"
+    assert int(state.step) == 40
+
+
+def test_c2_overfit_one_batch(corpus):
+    cfg = tiny(cpu_friendly(C2_GRU_4BAR))
+    _, _, first, last = _overfit(cfg, corpus, steps=30)
+    assert last < first * 0.9, f"ELBO did not decrease: {first} -> {last}"
+
+
+def test_e2e_generate_to_midi_roundtrip(corpus):
+    cfg = tiny(cpu_friendly(C2_GRU_4BAR)).replace(
+        gen=GenSpec(num_bars=8, num_samples=2))
+    model, state, _, _ = _overfit(cfg, corpus, steps=3)
+    gen = make_generate_fn(cfg, model)
+    bars = np.asarray(gen(state.params, jax.random.key(0)))
+    assert bars.shape == (2, 8, 96, 128)
+    # roll → SMF bytes → parse → tensorize must reproduce the roll, up to
+    # trailing all-empty bars (SEMANTICS.md §3: T is set by the last note).
+    data = bars_to_midi(bars[0], cfg)
+    back = np.asarray(midi_bytes_to_bars(data, cfg.midi))
+    n = bars[0].shape[0]
+    padded = np.zeros_like(bars[0])
+    padded[:min(back.shape[0], n)] = back[:n]
+    np.testing.assert_array_equal(padded, bars[0])
+
+
+def test_generation_bit_deterministic(corpus):
+    cfg = tiny(cpu_friendly(C2_GRU_4BAR)).replace(
+        gen=GenSpec(num_bars=4, num_samples=2))
+    model, state, _, _ = _overfit(cfg, corpus, steps=2)
+    gen = make_generate_fn(cfg, model)
+    a = np.asarray(gen(state.params, jax.random.key(5)))
+    b = np.asarray(gen(state.params, jax.random.key(5)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_scan_equals_manual_barwise_loop(corpus):
+    """lax.scan generation ≡ host-loop generation (SURVEY §4.5), using a
+    1-bar-phrase GRU model so the GRU state re-initializes each bar and the
+    only cross-bar coupling is the binarized prev-bar feedback."""
+    cfg = tiny(cpu_friendly(C2_GRU_4BAR), num_bars=1)
+    model, state, _, _ = _overfit(cfg, corpus, steps=2)
+    b, n, zd = 2, 5, cfg.model.z_dim
+    z = jax.random.normal(jax.random.key(9), (b, n, zd))
+    reset = jnp.ones((b, n))
+    _, scanned = model.apply({"params": state.params}, z, reset,
+                             method=model.generate)
+    prev = None
+    for t in range(n):
+        _, bar = model.apply({"params": state.params}, z[:, t:t + 1],
+                             jnp.ones((b, 1)), prev, method=model.generate)
+        np.testing.assert_array_equal(np.asarray(bar[:, 0]),
+                                      np.asarray(scanned[:, t]))
+        prev = bar[:, 0]
+
+
+def test_interpolation_path_endpoints():
+    from musicvae_tpu.generate import latent_path
+    cfg = tiny(cpu_friendly(C2_GRU_4BAR))
+    z, reset = latent_path(jax.random.key(0), cfg, batch=3, num_bars=16,
+                           interpolate=True)
+    assert z.shape == (3, 16, cfg.model.z_dim)
+    # constant within each 4-bar phrase
+    np.testing.assert_array_equal(np.asarray(z[:, 0]), np.asarray(z[:, 3]))
+    assert not np.array_equal(np.asarray(z[:, 0]), np.asarray(z[:, 4]))
+    np.testing.assert_array_equal(
+        np.asarray(reset[0]),
+        np.asarray([1, 0, 0, 0] * 4, dtype=np.float32))
