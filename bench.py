@@ -45,13 +45,15 @@ def bench_tpu_train(cfg):
          ).astype(jnp.float32)
     batch = shard_batch({"x": x}, mesh)
 
+    # NB: under the axon tunnel jax.block_until_ready can return before the
+    # computation finishes; a host transfer (float()) is the reliable fence.
     for _ in range(WARMUP):
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(TRAIN_STEPS):
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
     return TRAIN_STEPS / dt
 
@@ -63,16 +65,18 @@ def bench_tpu_generate(cfg):
 
     gcfg = cfg.replace(gen=GenSpec(num_bars=16, num_samples=256,
                                    interpolate=True))
+    import jax.numpy as jnp
     gen = make_generate_fn(gcfg)
     from musicvae_tpu.train import create_state
     _, state = create_state(gcfg)
     bars = gen(state.params, jax.random.key(0))
-    jax.block_until_ready(bars)
+    float(jnp.sum(bars))            # host-transfer fence (see bench_tpu_train)
     t0 = time.perf_counter()
-    reps = 3
+    reps = 5
     for i in range(reps):
         bars = gen(state.params, jax.random.key(i))
-    jax.block_until_ready(bars)
+        s = jnp.sum(bars)
+    float(s)
     dt = time.perf_counter() - t0
     total_bars = reps * gcfg.gen.num_samples * gcfg.gen.num_bars
     return (total_bars / 4) / dt      # 4-bar phrases/sec
