@@ -109,10 +109,29 @@ def crop_view(roll_or_bars: jax.Array, spec: MidiSpec) -> jax.Array:
 
 
 def midi_bytes_to_bars(data: bytes, spec: MidiSpec,
-                       max_events: int = 4096) -> jax.Array:
-    """Full pipeline: SMF bytes → bars[n_bars, steps_per_bar, 128] float32."""
-    midi = smf.parse_smf(data)
-    events, total_steps = notes_to_events(midi, spec, max_events)
+                       max_events: int = 4096,
+                       use_native: bool = True) -> jax.Array:
+    """Full pipeline: SMF bytes → bars[n_bars, steps_per_bar, 128] float32.
+
+    Host-side parse+quantize runs through the C++ component
+    (musicvae_tpu/native) when built — identical semantics, fuzzed in
+    tests/test_native_smf.py; the pure-Python codec is the fallback.
+    """
+    events = total_steps = None
+    if use_native:
+        from musicvae_tpu import native
+        if native.available():
+            try:
+                nat_notes, tpq, _ = native.parse_smf(data,
+                                                     max_notes=max_events)
+                events, total_steps = native.quantize_events(
+                    nat_notes, tpq, spec.steps_per_quarter,
+                    spec.steps_per_bar, max_events)
+            except ValueError as e:
+                raise smf.SMFError(str(e)) from None
+    if events is None:
+        midi = smf.parse_smf(data)
+        events, total_steps = notes_to_events(midi, spec, max_events)
     roll = events_to_roll(jnp.asarray(events), total_steps, spec.num_pitches)
     return chunk_bars(roll, spec.steps_per_bar)
 

@@ -34,8 +34,12 @@ class ConvTrunk(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         dt = _dtype(self.dtype)
         h = x.astype(dt)
+        # explicit symmetric (1,1) padding: XLA's stride-2 SAME pads (0,1),
+        # which would misalign checkpoint-parity with torch-convention
+        # reference models (checkpoints/torch_convert.py)
         for ch in self.channels:
-            h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+            h = nn.Conv(ch, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)),
                         dtype=dt, param_dtype=jnp.float32)(h)
             h = nn.gelu(h)
         return h.reshape(h.shape[0], -1)
@@ -91,12 +95,17 @@ class BarDecoderHead(nn.Module):
                      param_dtype=jnp.float32)(v.astype(dt))
         h = nn.gelu(h)
         h = h.reshape(h.shape[0], t0, p0, self.channels[0])
+        # transpose_kernel=True == gradient-of-conv semantics, the exact
+        # counterpart of a torch ConvTranspose2d — required for the
+        # checkpoint converter's weight-level parity (torch_convert.py).
         for ch in self.channels[1:]:
             h = nn.ConvTranspose(ch, (3, 3), strides=(2, 2), padding="SAME",
+                                 transpose_kernel=True,
                                  dtype=dt, param_dtype=jnp.float32)(h)
             h = nn.gelu(h)
         # final x2 upsample to (T, P) with a 1-channel head
         h = nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="SAME",
+                             transpose_kernel=True,
                              dtype=dt, param_dtype=jnp.float32)(h)
         return h[..., 0].astype(jnp.float32)   # logits in fp32
 

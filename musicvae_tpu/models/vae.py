@@ -207,11 +207,23 @@ class PianoRollVAE(nn.Module):
     def __call__(self, x: jax.Array,
                  chord: Optional[jax.Array] = None,
                  key_sig: Optional[jax.Array] = None,
+                 eps: Optional[Tuple[jax.Array, ...]] = None,
                  ) -> Tuple[jax.Array, Latents]:
-        """Teacher-forced ELBO forward. x: [B,N,T,P] → (logits, latents)."""
+        """Teacher-forced ELBO forward. x: [B,N,T,P] → (logits, latents).
+
+        ``eps``: optional externally-supplied N(0,1) draws (one per latent
+        level: (eps_z,) or (eps_phrase, eps_bar)) — used by the oracle
+        parity tests to share the stochastic node with the torch model.
+        When None, noise comes from the 'latent' PRNG stream.
+        """
         spec = self.spec
         b, n = x.shape[0], x.shape[1]
-        rng = self.make_rng("latent")
+        rng = self.make_rng("latent") if eps is None else None
+
+        def _sample(key, mu, logvar, e):
+            if e is not None:
+                return mu + e * jnp.exp(0.5 * logvar)
+            return reparameterize(key, mu, logvar)
 
         cond_vec = None
         if spec.kind == "cond":
@@ -220,9 +232,11 @@ class PianoRollVAE(nn.Module):
         enc = self.encode(x, cond_vec)
         latents: Latents = []
         if spec.kind == "hier":
-            k_p, k_b = jax.random.split(rng)
+            k_p, k_b = jax.random.split(rng) if rng is not None else (None,
+                                                                      None)
             mu_p, lv_p = enc["phrase"]
-            z_phrase = reparameterize(k_p, mu_p, lv_p)
+            z_phrase = _sample(k_p, mu_p, lv_p,
+                               eps[0] if eps is not None else None)
             latents.append((mu_p, lv_p))
             # per-bar posterior conditioned on encoder features + z_phrase
             zp_b = jnp.broadcast_to(z_phrase[:, None, :],
@@ -231,12 +245,14 @@ class PianoRollVAE(nn.Module):
                 jnp.concatenate([enc["bar_feats"],
                                  zp_b.astype(enc["bar_feats"].dtype)],
                                 axis=-1))
-            z_bars = reparameterize(k_b, mu_b, lv_b)            # [B,N,z]
+            z_bars = _sample(k_b, mu_b, lv_b,                   # [B,N,z]
+                             eps[1] if eps is not None else None)
             latents.append((mu_b, lv_b))
             z_phrase_bars = zp_b
         else:
             mu, logvar = enc["z"]
-            z = reparameterize(rng, mu, logvar)
+            z = _sample(rng, mu, logvar,
+                        eps[0] if eps is not None else None)
             latents.append((mu, logvar))
             z_bars = jnp.broadcast_to(z[:, None, :], (b, n, z.shape[-1]))
             z_phrase_bars = None

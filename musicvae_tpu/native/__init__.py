@@ -1,0 +1,119 @@
+"""Native (C++) host runtime: SMF parse + quantize hot loop via ctypes.
+
+The reference's host data path is pretty_midi's C-backed parser; this is the
+rebuild's native equivalent (SURVEY §2.3). ``load()`` builds the shared
+library on first use (g++ is in the image) and falls back to the pure-Python
+codec in midi/smf.py when a toolchain is unavailable — both implementations
+follow midi/SEMANTICS.md and are fuzzed against each other in
+tests/test_native_smf.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "smf_parser.cpp")
+_LIB = os.path.join(_DIR, "libmvae_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_ERRORS = {
+    -1: "bad header / not SMF",
+    -2: "SMPTE division unsupported",
+    -3: "truncated event",
+    -4: "unknown status byte",
+    -5: "note/event overflow",
+    -6: "unsupported SMF format",
+}
+
+
+def build(force: bool = False) -> str:
+    """Compile the native library (idempotent). Returns the .so path."""
+    if force or not os.path.exists(_LIB) or (
+            os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", _LIB, _SRC],
+            check=True, capture_output=True)
+    return _LIB
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed); None if the toolchain is unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            path = build()
+            lib = ctypes.CDLL(path)
+        except Exception:
+            _build_failed = True
+            return None
+        lib.mvae_parse_smf.restype = ctypes.c_int32
+        lib.mvae_parse_smf.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mvae_quantize_events.restype = ctypes.c_int32
+        lib.mvae_quantize_events.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def parse_smf(data: bytes, max_notes: int = 65536
+              ) -> Tuple[np.ndarray, int, int]:
+    """SMF bytes → (notes[n,4] int32 (start,end,pitch,vel), tpq, tempo_us).
+
+    Raises ValueError on malformed input (same classes as midi/smf.py).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable; use midi.smf")
+    notes = np.empty((max_notes, 4), dtype=np.int32)
+    tpq = ctypes.c_int32()
+    tempo = ctypes.c_int32()
+    n = lib.mvae_parse_smf(
+        data, len(data),
+        notes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_notes,
+        ctypes.byref(tpq), ctypes.byref(tempo))
+    if n < 0:
+        raise ValueError(f"native SMF parse failed: {_ERRORS.get(n, n)}")
+    return notes[:n].copy(), tpq.value, tempo.value
+
+
+def quantize_events(notes: np.ndarray, tpq: int, spq: int,
+                    steps_per_bar: int, max_events: int
+                    ) -> Tuple[np.ndarray, int]:
+    """notes[n,4] → (padded events[max_events,3] (s_on,s_off,pitch),
+    bar-padded total_steps) — SEMANTICS.md §2/§3 in native code."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable; use midi.tensorize")
+    notes = np.ascontiguousarray(notes, dtype=np.int32)
+    events = np.empty((max_events, 3), dtype=np.int32)
+    total = lib.mvae_quantize_events(
+        notes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        notes.shape[0], tpq, spq, steps_per_bar,
+        events.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_events)
+    if total < 0:
+        raise ValueError(f"native quantize failed: {_ERRORS.get(total, total)}")
+    return events, int(total)

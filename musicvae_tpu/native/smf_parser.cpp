@@ -1,0 +1,201 @@
+// Native SMF (Standard MIDI File) parser — the host-side data-loader hot
+// path. The reference's data pipeline is pretty_midi (C-accelerated parse
+// inside the library) feeding Python; this framework's equivalent native
+// component parses SMF bytes straight into the fixed-shape int32 event
+// triples (start_tick, end_tick, pitch) that midi/tensorize.py quantizes and
+// rasterizes on-device.
+//
+// Semantics are normative in musicvae_tpu/midi/SEMANTICS.md §1 and MUST
+// match musicvae_tpu/midi/smf.py (the pure-Python reference implementation)
+// exactly; tests/test_native_smf.py fuzzes the two against each other.
+//
+// Build: see build.py (g++ -O3 -shared -fPIC). Exposed via ctypes — plain C
+// ABI, no pybind11 (not in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct Note {
+  int32_t start, end, pitch, vel;
+};
+
+struct Reader {
+  const uint8_t* p;
+  size_t n;
+  size_t pos = 0;
+  bool ok = true;
+
+  uint8_t u8() {
+    if (pos >= n) { ok = false; return 0; }
+    return p[pos++];
+  }
+  uint32_t u16() { uint32_t a = u8(), b = u8(); return (a << 8) | b; }
+  uint32_t u32() { uint32_t a = u16(), b = u16(); return (a << 16) | b; }
+  uint32_t varlen() {
+    uint32_t v = 0;
+    for (int i = 0; i < 4; ++i) {
+      uint8_t b = u8();
+      if (!ok) return 0;
+      v = (v << 7) | (b & 0x7F);
+      if (!(b & 0x80)) return v;
+    }
+    ok = false;  // varlen too long
+    return 0;
+  }
+  void skip(size_t k) {
+    if (pos + k > n) { ok = false; pos = n; } else pos += k;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Error codes (negative) or number of notes written (>= 0).
+//  -1 bad header / not SMF        -4 unknown status byte
+//  -2 SMPTE division unsupported  -5 note overflow (> max_notes)
+//  -3 truncated event             -6 unsupported format
+int32_t mvae_parse_smf(const uint8_t* data, int64_t len,
+                       int32_t* out_notes /* [max_notes * 4]: s,e,pitch,vel */,
+                       int32_t max_notes,
+                       int32_t* out_tpq,
+                       int32_t* out_tempo_us) {
+  Reader r{data, static_cast<size_t>(len)};
+  if (len < 14 || std::memcmp(data, "MThd", 4) != 0) return -1;
+  r.pos = 4;
+  uint32_t hlen = r.u32();
+  uint32_t fmt = r.u16();
+  uint32_t ntrks = r.u16();
+  uint32_t division = r.u16();
+  if (!r.ok || hlen < 6) return -1;
+  if (division & 0x8000) return -2;
+  if (division == 0) return -1;
+  if (fmt > 1) return -6;
+  r.pos = 8 + hlen;
+
+  std::vector<Note> notes;
+  notes.reserve(256);
+  int32_t tempo = -1;
+
+  for (uint32_t trk = 0; trk < ntrks; ++trk) {
+    if (r.pos + 8 > r.n) break;  // tolerate fewer tracks than declared
+    if (std::memcmp(data + r.pos, "MTrk", 4) != 0) return -1;
+    r.pos += 4;
+    uint32_t tlen = r.u32();
+    size_t tend = r.pos + tlen;
+    if (tend > r.n) return -3;
+
+    int64_t tick = 0, last_tick = 0;
+    uint8_t running = 0;
+    // FIFO of open (tick, vel) per pitch (SEMANTICS.md §1)
+    std::vector<std::pair<int64_t, uint8_t>> open_fifo[128];
+
+    while (r.pos < tend && r.ok) {
+      tick += r.varlen();
+      last_tick = tick;
+      uint8_t status = data[r.pos];
+      if (status & 0x80) {
+        ++r.pos;
+        if (status < 0xF0) running = status;
+      } else {
+        if (running == 0) return -3;
+        status = running;
+      }
+      uint8_t kind = status & 0xF0;
+      if (kind == 0x80 || kind == 0x90) {
+        uint8_t pitch = r.u8(), vel = r.u8();
+        if (!r.ok || pitch > 127) return -3;
+        bool is_on = (kind == 0x90) && vel > 0;
+        if (is_on) {
+          open_fifo[pitch].emplace_back(tick, vel);
+        } else if (!open_fifo[pitch].empty()) {
+          auto [start, v] = open_fifo[pitch].front();
+          open_fifo[pitch].erase(open_fifo[pitch].begin());
+          if (tick > start)
+            notes.push_back({static_cast<int32_t>(start),
+                             static_cast<int32_t>(tick), pitch, v});
+        }
+      } else if (kind == 0xA0 || kind == 0xB0 || kind == 0xE0) {
+        r.skip(2);
+      } else if (kind == 0xC0 || kind == 0xD0) {
+        r.skip(1);
+      } else if (status == 0xFF) {
+        uint8_t mt = r.u8();
+        uint32_t mlen = r.varlen();
+        if (!r.ok || r.pos + mlen > tend) return -3;
+        if (mt == 0x51 && mlen == 3 && tempo < 0)
+          tempo = (data[r.pos] << 16) | (data[r.pos + 1] << 8)
+                  | data[r.pos + 2];
+        bool eot = (mt == 0x2F);
+        r.skip(mlen);
+        if (eot) break;
+      } else if (status == 0xF0 || status == 0xF7) {
+        uint32_t slen = r.varlen();
+        r.skip(slen);
+      } else {
+        return -4;
+      }
+    }
+    if (!r.ok) return -3;
+
+    // close notes left open at end of track (§1)
+    for (int pitch = 0; pitch < 128; ++pitch)
+      for (auto& [start, v] : open_fifo[pitch])
+        if (last_tick > start)
+          notes.push_back({static_cast<int32_t>(start),
+                           static_cast<int32_t>(last_tick),
+                           pitch, v});
+    r.pos = tend;
+  }
+
+  std::sort(notes.begin(), notes.end(), [](const Note& a, const Note& b) {
+    if (a.start != b.start) return a.start < b.start;
+    if (a.pitch != b.pitch) return a.pitch < b.pitch;
+    return a.end < b.end;
+  });
+
+  if (static_cast<int32_t>(notes.size()) > max_notes) return -5;
+  for (size_t i = 0; i < notes.size(); ++i) {
+    out_notes[i * 4 + 0] = notes[i].start;
+    out_notes[i * 4 + 1] = notes[i].end;
+    out_notes[i * 4 + 2] = notes[i].pitch;
+    out_notes[i * 4 + 3] = notes[i].vel;
+  }
+  *out_tpq = static_cast<int32_t>(division);
+  *out_tempo_us = tempo < 0 ? 500000 : tempo;
+  return static_cast<int32_t>(notes.size());
+}
+
+// Quantize + pad a parsed note array into tensorizer events
+// (SEMANTICS.md §2): step(t) = (2*t*spq + tpq) / (2*tpq) in exact integer
+// arithmetic; end = max(end, start+1). Returns bar-padded total steps.
+int32_t mvae_quantize_events(const int32_t* notes /* [n*4] */, int32_t n,
+                             int32_t tpq, int32_t spq, int32_t steps_per_bar,
+                             int32_t* out_events /* [max_events*3] */,
+                             int32_t max_events) {
+  if (n > max_events) return -5;
+  int64_t max_off = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    int64_t s = (2LL * notes[i * 4 + 0] * spq + tpq) / (2LL * tpq);
+    int64_t e = (2LL * notes[i * 4 + 1] * spq + tpq) / (2LL * tpq);
+    if (e < s + 1) e = s + 1;
+    out_events[i * 3 + 0] = static_cast<int32_t>(s);
+    out_events[i * 3 + 1] = static_cast<int32_t>(e);
+    out_events[i * 3 + 2] = notes[i * 4 + 2];
+    if (e > max_off) max_off = e;
+  }
+  for (int32_t i = n; i < max_events; ++i) {
+    out_events[i * 3 + 0] = 0;
+    out_events[i * 3 + 1] = 0;
+    out_events[i * 3 + 2] = 0;
+  }
+  int64_t bars = (max_off + steps_per_bar - 1) / steps_per_bar;
+  if (bars < 1) bars = 1;
+  return static_cast<int32_t>(bars * steps_per_bar);
+}
+
+}  // extern "C"

@@ -81,9 +81,11 @@ class OracleHead(nn.Module):
         self.c0 = spec.dec_channels[0]
         self.fc = nn.Linear(in_dim, self.t0 * self.p0 * self.c0)
         chans = [*spec.dec_channels, 1]
+        # padding=0 + crop-to-2x matches SAME-padded fractionally-strided
+        # conv alignment (the flax ConvTranspose in models/layers.py); a
+        # torch padding=1/output_padding=1 deconv is offset by one pixel.
         self.deconvs = nn.ModuleList(
-            nn.ConvTranspose2d(chans[i], chans[i + 1], 3, stride=2,
-                               padding=1, output_padding=1)
+            nn.ConvTranspose2d(chans[i], chans[i + 1], 3, stride=2, padding=0)
             for i in range(len(spec.dec_channels)))
         self.act = _gelu()
 
@@ -92,7 +94,7 @@ class OracleHead(nn.Module):
         # flax reshapes NHWC: [B, t0, p0, c0] then convs; mirror exactly
         h = h.reshape(-1, self.t0, self.p0, self.c0).permute(0, 3, 1, 2)
         for i, d in enumerate(self.deconvs):
-            h = d(h)
+            h = d(h)[:, :, :h.shape[2] * 2, :h.shape[3] * 2]
             if i + 1 < len(self.deconvs):
                 h = self.act(h)
         return h.squeeze(1)                                 # [B,T,P]

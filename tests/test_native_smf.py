@@ -1,0 +1,86 @@
+"""Native (C++) SMF parser ≡ pure-Python codec, fuzzed (SEMANTICS.md §1–§3).
+
+Both implement the normative semantics; parity must be exact, including
+quantization and bar padding.
+"""
+
+import numpy as np
+import pytest
+
+from musicvae_tpu import native
+from musicvae_tpu.config import MidiSpec
+from musicvae_tpu.midi import smf, tensorize
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+SPEC = MidiSpec()
+
+
+def _random_notes(seed, n, tpq):
+    rng = np.random.default_rng(seed)
+    notes = []
+    for _ in range(n):
+        start = int(rng.integers(0, 16 * tpq))
+        length = int(rng.integers(1, 3 * tpq))
+        notes.append(smf.Note(int(rng.integers(0, 128)), start,
+                              start + length, int(rng.integers(1, 128))))
+    notes.sort(key=lambda x: (x.start_tick, x.pitch, x.end_tick))
+    return notes
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("tpq", [96, 480, 960])
+def test_parse_parity_random(seed, tpq):
+    data = smf.write_smf(_random_notes(seed, 150, tpq), tpq)
+    py = smf.parse_smf(data)
+    nat_notes, nat_tpq, nat_tempo = native.parse_smf(data)
+    assert nat_tpq == py.ticks_per_quarter
+    assert nat_tempo == py.tempo_us_per_quarter
+    py_arr = np.array([[n.start_tick, n.end_tick, n.pitch, n.velocity]
+                       for n in py.notes], dtype=np.int32).reshape(-1, 4)
+    np.testing.assert_array_equal(nat_notes, py_arr)
+
+
+def test_parse_parity_edge_cases():
+    # overlapping same-pitch notes (FIFO), vel-0 note_off, running status
+    notes = [smf.Note(60, 0, 400, 100), smf.Note(60, 100, 300, 90),
+             smf.Note(72, 0, 50, 80)]
+    data = smf.write_smf(notes, 480)
+    py = smf.parse_smf(data)
+    nat_notes, _, _ = native.parse_smf(data)
+    py_arr = np.array([[n.start_tick, n.end_tick, n.pitch, n.velocity]
+                       for n in py.notes], dtype=np.int32)
+    np.testing.assert_array_equal(nat_notes, py_arr)
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        native.parse_smf(b"not a midi file at all")
+    with pytest.raises(ValueError):
+        native.parse_smf(b"MThd" + b"\x00" * 10)
+
+
+def test_quantize_parity():
+    for tpq in (96, 220, 480):
+        data = smf.write_smf(_random_notes(7, 200, tpq), tpq)
+        py_midi = smf.parse_smf(data)
+        py_events, py_total = tensorize.notes_to_events(py_midi, SPEC, 256)
+        nat_notes, nat_tpq, _ = native.parse_smf(data)
+        nat_events, nat_total = native.quantize_events(
+            nat_notes, nat_tpq, SPEC.steps_per_quarter, SPEC.steps_per_bar,
+            256)
+        assert nat_total == py_total
+        np.testing.assert_array_equal(nat_events, py_events)
+
+
+def test_native_roll_end_to_end():
+    """native parse+quantize feeding the jit tensorizer == python path."""
+    data = smf.write_smf(_random_notes(11, 100, 480), 480)
+    nat_notes, tpq, _ = native.parse_smf(data)
+    events, total = native.quantize_events(
+        nat_notes, tpq, SPEC.steps_per_quarter, SPEC.steps_per_bar, 128)
+    roll_native = np.asarray(tensorize.events_to_roll(events, total))
+    roll_py = np.asarray(
+        tensorize.midi_bytes_to_bars(data, SPEC)).reshape(-1, 128)
+    np.testing.assert_array_equal(roll_native, roll_py)
