@@ -38,11 +38,11 @@ class PianoRollDataset:
     def from_corpus(cls, pieces: Sequence[Tuple[bytes, int, int]],
                     spec: MidiSpec, num_bars: int) -> "PianoRollDataset":
         """pieces: (smf_bytes, chord_class, key_class) triples."""
+        all_bars = tensorize.corpus_to_bars([p[0] for p in pieces], spec)
         xs: List[np.ndarray] = []
         cs: List[np.ndarray] = []
         ks: List[int] = []
-        for data, chord, key in pieces:
-            bars = np.asarray(tensorize.midi_bytes_to_bars(data, spec))
+        for bars, (_, chord, key) in zip(all_bars, pieces):
             n = bars.shape[0]
             for start in range(0, n - num_bars + 1):
                 xs.append(bars[start:start + num_bars])

@@ -58,6 +58,25 @@ def test_crop_parity():
         np.asarray(tensorize.crop_view(jax_bars, spec)), t)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_numpy_rasterizer_matches_jax(seed):
+    """Host (numpy) corpus rasterizer ≡ on-device (jax) rasterizer."""
+    midi = _random_midi(seed, 480, 150)
+    events, total = tensorize.notes_to_events(midi, SPEC, 256)
+    np.testing.assert_array_equal(
+        tensorize.events_to_roll_np(events, total),
+        np.asarray(tensorize.events_to_roll(events, total)))
+
+
+def test_corpus_to_bars_matches_per_piece():
+    from musicvae_tpu.data.synthetic import synth_corpus
+    pieces = [p[0] for p in synth_corpus(4, n_bars=8, seed=3)]
+    batched = tensorize.corpus_to_bars(pieces, SPEC)
+    for data, bars in zip(pieces, batched):
+        np.testing.assert_array_equal(
+            bars, np.asarray(tensorize.midi_bytes_to_bars(data, SPEC)))
+
+
 def test_quantization_boundary_ticks_identical():
     """Half-step boundary ticks: rounding must agree exactly (§2)."""
     from tests.oracle.oracle_tensorize import oracle_quantize
