@@ -1,0 +1,103 @@
+"""Checkpoint/resume tests (SURVEY §5.4): Orbax roundtrip, config JSON
+roundtrip, and exact resume (restored training continues bit-identically).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import cpu_friendly
+from musicvae_tpu import checkpoints
+from musicvae_tpu.config import C1_CONV_BAR, C2_GRU_4BAR, Config
+from musicvae_tpu.train import create_state, make_train_step
+
+
+def tiny(cfg):
+    m = dataclasses.replace(cfg.model, enc_channels=(4, 8, 8, 8, 8),
+                            dec_channels=(8, 8, 8, 8, 8), z_dim=16,
+                            gru_hidden=32, bar_feat_dim=32, dtype="float32")
+    t = dataclasses.replace(cfg.train, batch_size=4)
+    return cpu_friendly(cfg.replace(model=m, train=t))
+
+
+def _batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    return {"x": (rng.random((cfg.train.batch_size, cfg.model.num_bars,
+                              96, 128)) < 0.05).astype(np.float32)}
+
+
+def test_config_json_roundtrip():
+    for cfg in (C1_CONV_BAR, C2_GRU_4BAR):
+        back = checkpoints.config_from_json(checkpoints.config_to_json(cfg))
+        assert back == cfg
+
+
+def test_save_restore_roundtrip(tmp_path):
+    cfg = tiny(C1_CONV_BAR)
+    model, state = create_state(cfg)
+    step = make_train_step(cfg, model, use_pallas=False)
+    state, _ = step(state, _batch(cfg))
+
+    mgr = checkpoints.make_manager(str(tmp_path / "ckpt"), keep=2)
+    checkpoints.save(mgr, state, cfg, wait=True)
+    assert mgr.latest_step() == 1
+
+    _, template = create_state(cfg)
+    restored, cfg_back = checkpoints.restore(mgr, template)
+    assert cfg_back == cfg
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(a, b)
+    assert int(restored.step) == 1
+
+
+def test_resume_is_exact(tmp_path):
+    """save@5 → restore → 5 more steps == 10 continuous steps, bit-exact
+    (params, opt state, step counter, PRNG chain all in the checkpoint)."""
+    cfg = tiny(C2_GRU_4BAR)
+    model, s_cont = create_state(cfg)
+    step = make_train_step(cfg, model, use_pallas=False)
+    batch = _batch(cfg)
+
+    # continuous run: 10 steps
+    for _ in range(10):
+        s_cont, _ = step(s_cont, batch)
+
+    # interrupted run (fresh state — the step donates its input buffers,
+    # and create_state is deterministic in cfg.train.seed): 5 steps,
+    # checkpoint, restore, 5 more
+    _, s_a = create_state(cfg)
+    for _ in range(5):
+        s_a, _ = step(s_a, batch)
+    mgr = checkpoints.make_manager(str(tmp_path / "ckpt"))
+    checkpoints.save(mgr, s_a, cfg, wait=True)
+    _, template = create_state(cfg)
+    s_b, _ = checkpoints.restore(mgr, template)
+    for _ in range(5):
+        s_b, _ = step(s_b, batch)
+
+    assert int(s_b.step) == int(s_cont.step) == 10
+    for a, b in zip(jax.tree.leaves(jax.device_get(s_cont.params)),
+                    jax.tree.leaves(jax.device_get(s_b.params))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_keep_n_retention(tmp_path):
+    cfg = tiny(C1_CONV_BAR)
+    model, state = create_state(cfg)
+    step = make_train_step(cfg, model, use_pallas=False)
+    mgr = checkpoints.make_manager(str(tmp_path / "ckpt"), keep=2)
+    for _ in range(4):
+        state, _ = step(state, _batch(cfg))
+        checkpoints.save(mgr, state, cfg, wait=True)
+    assert mgr.all_steps() == [3, 4]
+
+
+def test_restore_missing_raises(tmp_path):
+    cfg = tiny(C1_CONV_BAR)
+    _, template = create_state(cfg)
+    mgr = checkpoints.make_manager(str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        checkpoints.restore(mgr, template)

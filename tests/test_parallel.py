@@ -1,0 +1,91 @@
+"""Multi-device tests on the fake 8-device CPU mesh (SURVEY §4.4):
+mesh construction, batch sharding placement, and DP-vs-single-device
+equivalence of the train step (XLA inserts the grad psum; results must
+match a 1-device run).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import cpu_friendly
+from musicvae_tpu.config import C2_GRU_4BAR, MeshSpec
+from musicvae_tpu.parallel import (DATA_AXIS, MODEL_AXIS, batch_sharding,
+                                   make_mesh, replicated, shard_batch)
+from musicvae_tpu.train import create_state, make_train_step
+
+
+def tiny(cfg, **kw):
+    m = dataclasses.replace(cfg.model, enc_channels=(4, 8, 8, 8, 8),
+                            dec_channels=(8, 8, 8, 8, 8), z_dim=16,
+                            gru_hidden=32, bar_feat_dim=32, dtype="float32")
+    t = dataclasses.replace(cfg.train, batch_size=8)
+    return cpu_friendly(cfg.replace(model=m, train=t, **kw))
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 fake devices"
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    assert mesh.shape == {DATA_AXIS: 8, MODEL_AXIS: 1}
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    assert mesh.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+
+
+def test_mesh_clamps_to_available():
+    mesh = make_mesh(MeshSpec(data=64, model=1))   # v4-8 config on 8 devs
+    assert mesh.shape[DATA_AXIS] == 8
+    with pytest.raises(ValueError):
+        make_mesh(MeshSpec(data=1, model=16))
+
+
+def test_batch_is_sharded_on_data_axis():
+    mesh = make_mesh(MeshSpec(data=8))
+    batch = shard_batch({"x": np.zeros((16, 1, 96, 128), np.float32)}, mesh)
+    shard_shapes = {s.data.shape for s in batch["x"].addressable_shards}
+    assert shard_shapes == {(2, 1, 96, 128)}       # 16 / 8 devices
+
+
+def _run_steps(cfg, mesh_spec, batch_np, steps=3):
+    mesh = make_mesh(mesh_spec)
+    model, state = create_state(cfg)
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(cfg, model, use_pallas=False)
+    batch = shard_batch(batch_np, mesh)
+    metrics = None
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    return jax.device_get(state.params), jax.device_get(metrics)
+
+
+def test_dp8_matches_single_device():
+    """Same seed, same global batch: 8-way DP must reproduce 1-device
+    training (up to reduction-order float noise)."""
+    cfg = tiny(C2_GRU_4BAR)
+    rng = np.random.default_rng(0)
+    batch = {"x": (rng.random((8, 4, 96, 128)) < 0.05).astype(np.float32)}
+    p1, m1 = _run_steps(cfg, MeshSpec(data=1), batch)
+    p8, m8 = _run_steps(cfg, MeshSpec(data=8), batch)
+    # the sharded sum reduces in a different order; only float noise allowed
+    np.testing.assert_allclose(m1["loss"], m8["loss"], rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_generation_under_dp_mesh():
+    """The generation sweep shards its sample batch over 'data' (C5 runs
+    1k samples on v5e-8)."""
+    from musicvae_tpu.config import GenSpec
+    from musicvae_tpu.generate import make_generate_fn
+
+    cfg = tiny(C2_GRU_4BAR).replace(
+        gen=GenSpec(num_bars=8, num_samples=16, interpolate=True))
+    mesh = make_mesh(MeshSpec(data=8))
+    model, state = create_state(cfg)
+    params = jax.device_put(state.params, replicated(mesh))
+    gen = make_generate_fn(cfg, model)
+    bars = gen(params, jax.random.key(0))
+    assert bars.shape == (16, 8, 96, 128)
+    assert set(np.unique(np.asarray(bars))) <= {0.0, 1.0}
