@@ -92,17 +92,17 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any],
         params = {
             "enc_trunk": _trunk(sd, "enc_trunk", ne),
             "z_head": {"Dense_0": _dense(sd, "z_head")},
-            "bar_cell": {"head": _head(sd, "head", nd)},
+            "decoder": {"head": _head(sd, "head", nd)},
         }
         if spec.use_prev_bar:
-            params["bar_cell"]["prev_feat"] = _barfeat(sd, "prev_feat", ne)
+            params["decoder"]["prev_feat"] = _barfeat(sd, "prev_feat", ne)
         return params
     if spec.kind == "gru_seq":
         return {
             "enc_feat": _barfeat(sd, "enc_feat", ne),
             "enc_gru": {"GRUCell_0": _gru(sd, "enc_gru")},
             "z_head": {"Dense_0": _dense(sd, "z_head")},
-            "bar_cell": {
+            "decoder": {
                 "h_init": _dense(sd, "h_init"),
                 "prev_feat": _barfeat(sd, "prev_feat", ne),
                 "seq_gru": _gru(sd, "dec_gru"),
@@ -170,17 +170,17 @@ def flax_params_to_torch_state_dict(params: Dict[str, Any],
     if spec.kind == "conv_bar":
         put_trunk("enc_trunk", params["enc_trunk"])
         put_dense("z_head", params["z_head"]["Dense_0"])
-        put_head("head", params["bar_cell"]["head"])
+        put_head("head", params["decoder"]["head"])
         if spec.use_prev_bar:
-            put_barfeat("prev_feat", params["bar_cell"]["prev_feat"])
+            put_barfeat("prev_feat", params["decoder"]["prev_feat"])
     elif spec.kind == "gru_seq":
         put_barfeat("enc_feat", params["enc_feat"])
         put_gru("enc_gru", params["enc_gru"]["GRUCell_0"])
         put_dense("z_head", params["z_head"]["Dense_0"])
-        put_dense("h_init", params["bar_cell"]["h_init"])
-        put_barfeat("prev_feat", params["bar_cell"]["prev_feat"])
-        put_gru("dec_gru", params["bar_cell"]["seq_gru"])
-        put_head("head", params["bar_cell"]["head"])
+        put_dense("h_init", params["decoder"]["h_init"])
+        put_barfeat("prev_feat", params["decoder"]["prev_feat"])
+        put_gru("dec_gru", params["decoder"]["seq_gru"])
+        put_head("head", params["decoder"]["head"])
     else:
         raise NotImplementedError(spec.kind)
     return out

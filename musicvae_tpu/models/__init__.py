@@ -2,5 +2,5 @@
 
 from musicvae_tpu.models.latent import reparameterize, slerp  # noqa: F401
 from musicvae_tpu.models.vae import (  # noqa: F401
-    BarCell, PianoRollVAE, build_model, init_params,
+    BarDecoder, PianoRollVAE, build_model, init_params,
 )

@@ -2,24 +2,26 @@
 hierarchical bar→phrase VAE (C3), chord/key-conditional VAE (C4).
 
 One model class handles all four kinds; the architectural switch is the
-static ``ModelSpec.kind``. The decode step is a single scanned ``BarCell``
-used by BOTH the teacher-forced training path and the closed-loop
-generation path (the SURVEY §7.3 "teacher-forcing vs sampling asymmetry"
-is resolved by carrying a ``teacher`` gate as data, so the two paths share
-one set of parameters and one compiled scan body):
+static ``ModelSpec.kind``. All decode-path parameters live in a single
+``BarDecoder`` module with two entry points sharing one set of weights
+(SURVEY §7.3 "teacher-forcing vs sampling asymmetry"):
 
-    carry = (h_seq, h_cond, prev_bar)
-    prev  = teacher_t * x_{t-1} + (1 - teacher_t) * prev_bar     # gate
-    feat  = BarFeat(prev)                                         # conv
-    h     = reset_t ? tanh(W z_t) : h_seq ; h = GRU(h, [z_t, feat, cond])
-    c     = conductor-GRU step from z_phrase                      # hier only
-    logits_t = BarDecoderHead([h | z_t, c, cond])
-    prev_bar' = binarize(logits_t)                                # §6
+- ``teacher(z_bars, x, …)`` — training decode. Teacher forcing makes every
+  bar's conv work independent (SURVEY §3.4), so the prev-bar feature
+  extractor and the deconv head run as ONE big batched conv over
+  [batch × bars]; only the (tiny) GRU recurrences are scanned. This is the
+  TPU-first layout: the MXU sees large batched convs, the sequential scan
+  carries only [B, hidden] vectors.
+- ``step(carry, xs)`` — one closed-loop generation step (scan-lifted):
+  prev-bar conditioning → decode → binarize (SEMANTICS.md §6) → feed back.
+  Used by ``PianoRollVAE.generate`` as a single on-device ``lax.scan`` with
+  no host round-trips (the reference runs this loop on host, one device
+  round-trip per bar — BASELINE.json north_star mandates the scan form).
 
 Reference behavior being rebuilt (BASELINE.json): conv/GRU encoder →
 reparameterized diagonal-Gaussian latent → decoder; bar-by-bar generation
 with prev-bar conditioning → latent sample → decode → binarize. The
-reference source was unreadable (SURVEY §0.1); exact layer shapes are this
+reference source was unreadable (SURVEY §0.1); layer shapes are this
 framework's own TPU-first choices (models/layers.py docstring).
 """
 
@@ -39,77 +41,151 @@ from musicvae_tpu.models.latent import reparameterize
 Latents = List[Tuple[jax.Array, jax.Array]]   # [(mu, logvar), ...] per level
 
 
-class BarCell(nn.Module):
-    """One decode step over the bar axis (see module docstring)."""
+class BarDecoder(nn.Module):
+    """Decode-path weights + the two decode modes (see module docstring)."""
 
     spec: ModelSpec
     midi: MidiSpec
 
-    @nn.compact
-    def __call__(self, carry, xs):
-        spec, midi = self.spec, self.midi
+    def setup(self):
+        spec = self.spec
         dt = layers._dtype(spec.dtype)
-        h_seq, h_cond, prev_bar = carry
-        z = xs["z"]                        # [B, z]
-        reset = xs["reset"][:, None]       # [B, 1]
-        teacher = xs["teacher"][:, None, None]  # [B, 1, 1]
-
-        prev = teacher * xs["teacher_prev"] + (1.0 - teacher) * prev_bar
-
-        head_in = []
-        gru_in = [z.astype(dt)]
+        self._dt = dt
         if spec.use_prev_bar:
-            feat = layers.BarFeat(spec.bar_feat_dim, spec.enc_channels,
-                                  spec.dtype, name="prev_feat")(prev)
-            gru_in.append(feat)
-            if spec.kind == "conv_bar":
-                head_in.append(feat)
-        if "cond" in xs:                   # chord/key embedding (C4)
-            gru_in.append(xs["cond"].astype(dt))
-            head_in.append(xs["cond"].astype(dt))
-
-        if spec.kind == "conv_bar":
-            head_in.insert(0, z.astype(dt))
-            new_h_seq = h_seq
-        else:
-            h0 = nn.tanh(nn.Dense(spec.gru_hidden, dtype=dt,
-                                  param_dtype=jnp.float32,
-                                  name="h_init")(z.astype(dt)))
-            h = jnp.where(reset > 0, h0, h_seq)
-            cell = nn.GRUCell(features=spec.gru_hidden, dtype=dt,
-                              param_dtype=jnp.float32, name="seq_gru")
-            new_h_seq, out = cell(h, jnp.concatenate(gru_in, axis=-1))
-            head_in.insert(0, out)
-
+            self.prev_feat = layers.BarFeat(spec.bar_feat_dim,
+                                            spec.enc_channels, spec.dtype)
+        if spec.kind != "conv_bar":
+            self.h_init = nn.Dense(spec.gru_hidden, dtype=dt,
+                                   param_dtype=jnp.float32)
+            self.seq_gru = nn.GRUCell(features=spec.gru_hidden, dtype=dt,
+                                      param_dtype=jnp.float32)
         if spec.kind == "hier":
-            zp = xs["z_phrase"].astype(dt)
-            hc0 = nn.tanh(nn.Dense(spec.gru_hidden, dtype=dt,
-                                   param_dtype=jnp.float32,
-                                   name="cond_init")(zp))
-            hc = jnp.where(reset > 0, hc0, h_cond)
-            ccell = nn.GRUCell(features=spec.gru_hidden, dtype=dt,
-                               param_dtype=jnp.float32, name="conductor")
-            new_h_cond, c = ccell(hc, zp)
-            head_in.append(c)
-        else:
-            new_h_cond = h_cond
+            self.cond_init = nn.Dense(spec.gru_hidden, dtype=dt,
+                                      param_dtype=jnp.float32)
+            self.conductor = nn.GRUCell(features=spec.gru_hidden, dtype=dt,
+                                        param_dtype=jnp.float32)
+        self.head = layers.BarDecoderHead(
+            spec.dec_channels, self.midi.steps_per_bar,
+            self.midi.num_pitches, spec.dtype)
 
-        logits = layers.BarDecoderHead(
-            spec.dec_channels, midi.steps_per_bar, midi.num_pitches,
-            spec.dtype, name="head")(jnp.concatenate(head_in, axis=-1))
+    # -- helpers -------------------------------------------------------------
 
-        # SEMANTICS.md §6: strict >, threshold in logit space, crop-masked.
+    def _binarize(self, logits: jax.Array) -> jax.Array:
+        """SEMANTICS.md §6: strict >, threshold in logit space, crop-masked."""
+        midi = self.midi
         thr = midi.binarize_threshold
         logit_t = math.log(thr) - math.log1p(-thr)
-        pmask = ((jnp.arange(midi.num_pitches) >= midi.pitch_lo)
-                 & (jnp.arange(midi.num_pitches) < midi.pitch_hi))
-        bar = (logits > logit_t).astype(jnp.float32) * pmask.astype(jnp.float32)
+        p = jnp.arange(midi.num_pitches)
+        pmask = ((p >= midi.pitch_lo) & (p < midi.pitch_hi)).astype(
+            jnp.float32)
+        return (logits > logit_t).astype(jnp.float32) * pmask
 
-        return (new_h_seq, new_h_cond, bar), (logits, bar)
+    def _recur(self, h, hc, z, reset, gru_in, z_phrase):
+        """Shared single-step recurrence (teacher scan AND gen step)."""
+        spec = self.spec
+        reset = reset[:, None]
+        out = c = None
+        if spec.kind != "conv_bar":
+            h0 = nn.tanh(self.h_init(z.astype(self._dt)))
+            h, out = self.seq_gru(jnp.where(reset > 0, h0, h), gru_in)
+        if spec.kind == "hier":
+            zp = z_phrase.astype(self._dt)
+            hc0 = nn.tanh(self.cond_init(zp))
+            hc, c = self.conductor(jnp.where(reset > 0, hc0, hc), zp)
+        return h, hc, out, c
+
+    def _head_in(self, z, feat, cond, out, c) -> jax.Array:
+        """Head-input composition, fixed across both decode modes."""
+        if self.spec.kind == "conv_bar":
+            parts = [z.astype(self._dt)]
+            if feat is not None:
+                parts.append(feat)
+            if cond is not None:
+                parts.append(cond.astype(self._dt))
+        else:
+            parts = [out]
+            if cond is not None:
+                parts.append(cond.astype(self._dt))
+            if c is not None:
+                parts.append(c)
+        return jnp.concatenate(parts, axis=-1)
+
+    # -- training decode: bar-parallel convs, scanned GRU only ---------------
+
+    def teacher(self, z_bars: jax.Array, x: jax.Array,
+                cond_vec: Optional[jax.Array] = None,
+                z_phrase_bars: Optional[jax.Array] = None) -> jax.Array:
+        spec = self.spec
+        b, n, t, p = x.shape
+        teacher_prev = jnp.concatenate(
+            [jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+        feats = None
+        if spec.use_prev_bar:
+            feats = self.prev_feat(
+                teacher_prev.reshape(b * n, t, p)).reshape(b, n, -1)
+
+        out = c = None
+        if spec.kind != "conv_bar":
+            gru_parts = [z_bars.astype(self._dt)]
+            if feats is not None:
+                gru_parts.append(feats)
+            if spec.kind == "cond" and cond_vec is not None:
+                gru_parts.append(cond_vec.astype(self._dt))
+            xs = {"z": z_bars, "gru_in": jnp.concatenate(gru_parts, -1),
+                  "reset": jnp.zeros((b, n)).at[:, 0].set(1.0)}
+            if spec.kind == "hier":
+                xs["z_phrase"] = z_phrase_bars
+            h = jnp.zeros((b, spec.gru_hidden), self._dt)
+            _, (out, c) = self.rnn_step((h, h), xs)
+            out = out.reshape(b * n, -1)
+            c = c.reshape(b * n, -1) if spec.kind == "hier" else None
+
+        head_in = self._head_in(
+            z_bars.reshape(b * n, -1),
+            feats.reshape(b * n, -1) if feats is not None else None,
+            cond_vec.reshape(b * n, -1) if (spec.kind in ("conv_bar", "cond")
+                                            and cond_vec is not None) else None,
+            out, c)
+        return self.head(head_in).reshape(b, n, t, p)
+
+    # -- scanned bodies (lifted via nn.scan in PianoRollVAE.setup) -----------
+
+    def rnn_step(self, carry, xs):
+        """Recurrence-only step for teacher decode (scanned over bars)."""
+        h, hc = carry
+        h, hc, out, c = self._recur(
+            h, hc, xs["z"], xs["reset"], xs["gru_in"],
+            xs.get("z_phrase"))
+        if out is None:
+            out = h
+        if c is None:
+            c = hc
+        return (h, hc), (out, c)
+
+    def step(self, carry, xs):
+        """Full closed-loop generation step (scanned over bars)."""
+        spec = self.spec
+        h, hc, prev_bar = carry
+        z = xs["z"]
+        feat = cond = None
+        gru_parts = [z.astype(self._dt)]
+        if spec.use_prev_bar:
+            feat = self.prev_feat(prev_bar)
+            gru_parts.append(feat)
+        if "cond" in xs:
+            cond = xs["cond"]
+            if spec.kind == "cond":
+                gru_parts.append(cond.astype(self._dt))
+        h, hc, out, c = self._recur(h, hc, z, xs["reset"],
+                                    jnp.concatenate(gru_parts, -1),
+                                    xs.get("z_phrase"))
+        logits = self.head(self._head_in(z, feat, cond, out, c))
+        bar = self._binarize(logits)
+        return (h, hc, bar), (logits, bar)
 
 
 class PianoRollVAE(nn.Module):
-    """Encoder + reparameterized latent(s) + scanned BarCell decoder."""
+    """Encoder + reparameterized latent(s) + BarDecoder."""
 
     spec: ModelSpec
     midi: MidiSpec
@@ -139,12 +215,17 @@ class PianoRollVAE(nn.Module):
             self.key_emb = nn.Embed(spec.cond_key_classes,
                                     spec.cond_embed_dim,
                                     param_dtype=jnp.float32)
+        # one BarDecoder; 'step' (generation) and 'rnn_step' (teacher
+        # recurrence) are scan-lifted over the bar axis, everything else —
+        # notably the batched conv head in teacher() — runs unscanned with
+        # the SAME parameters.
         self.decoder = nn.scan(
-            BarCell,
+            BarDecoder,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1, out_axes=1,
-        )(spec=spec, midi=self.midi, name="bar_cell")
+            methods=["step", "rnn_step"],
+        )(spec=spec, midi=self.midi, name="decoder")
 
     # ---- pieces ----------------------------------------------------------
 
@@ -180,27 +261,6 @@ class PianoRollVAE(nn.Module):
             return {"phrase": (mu_p, lv_p), "bar_feats": f}
         mu, logvar = self.z_head(h_last)
         return {"z": (mu, logvar)}
-
-    def _decode_xs(self, z_bars, reset, teacher, teacher_prev,
-                   cond_vec=None, z_phrase=None) -> Dict[str, jax.Array]:
-        xs = {"z": z_bars, "reset": reset, "teacher": teacher,
-              "teacher_prev": teacher_prev}
-        if self.spec.kind == "cond":
-            assert cond_vec is not None
-            xs["cond"] = cond_vec
-        if self.spec.kind == "hier":
-            assert z_phrase is not None
-            xs["z_phrase"] = z_phrase
-        return xs
-
-    def init_carry(self, batch: int,
-                   seed_bar: Optional[jax.Array] = None):
-        dt = layers._dtype(self.spec.dtype)
-        h = jnp.zeros((batch, self.spec.gru_hidden), dt)
-        prev = seed_bar if seed_bar is not None else jnp.zeros(
-            (batch, self.midi.steps_per_bar, self.midi.num_pitches),
-            jnp.float32)
-        return (h, h, prev)
 
     # ---- training forward ------------------------------------------------
 
@@ -257,13 +317,7 @@ class PianoRollVAE(nn.Module):
             z_bars = jnp.broadcast_to(z[:, None, :], (b, n, z.shape[-1]))
             z_phrase_bars = None
 
-        reset = jnp.zeros((b, n), jnp.float32).at[:, 0].set(1.0)
-        teacher = jnp.ones((b, n), jnp.float32)
-        teacher_prev = jnp.concatenate(
-            [jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
-        xs = self._decode_xs(z_bars, reset, teacher, teacher_prev,
-                             cond_vec, z_phrase_bars)
-        _, (logits, _) = self.decoder(self.init_carry(b), xs)
+        logits = self.decoder.teacher(z_bars, x, cond_vec, z_phrase_bars)
         return logits, latents
 
     # ---- closed-loop generation (one scan, no host round-trips) ----------
@@ -278,22 +332,20 @@ class PianoRollVAE(nn.Module):
         """z_bars: [B,N,z] per-bar latent path (sampled or interpolated);
         reset: [B,N] 1.0 where the GRU state re-initializes (phrase starts).
         Returns (logits, bars) with bars binarized per SEMANTICS.md §6."""
+        spec = self.spec
         b, n = z_bars.shape[0], z_bars.shape[1]
-        cond_vec = None
-        if self.spec.kind == "cond":
-            cond_vec = self.cond_vector(chord, key_sig, n)
-        teacher = jnp.zeros((b, n), jnp.float32)
-        teacher_prev = jnp.zeros(
-            (b, n, self.midi.steps_per_bar, self.midi.num_pitches),
-            jnp.float32)
-        zp_bars = None
-        if self.spec.kind == "hier":
+        xs: Dict[str, jax.Array] = {"z": z_bars, "reset": reset}
+        if spec.kind == "cond":
+            xs["cond"] = self.cond_vector(chord, key_sig, n)
+        if spec.kind == "hier":
             assert z_phrase is not None
-            zp_bars = jnp.broadcast_to(z_phrase[:, None, :],
-                                       (b, n, z_phrase.shape[-1]))
-        xs = self._decode_xs(z_bars, reset, teacher, teacher_prev,
-                             cond_vec, zp_bars)
-        _, (logits, bars) = self.decoder(self.init_carry(b, seed_bar), xs)
+            xs["z_phrase"] = jnp.broadcast_to(
+                z_phrase[:, None, :], (b, n, z_phrase.shape[-1]))
+        dt = layers._dtype(spec.dtype)
+        h = jnp.zeros((b, spec.gru_hidden), dt)
+        prev = seed_bar if seed_bar is not None else jnp.zeros(
+            (b, self.midi.steps_per_bar, self.midi.num_pitches), jnp.float32)
+        _, (logits, bars) = self.decoder.step((h, h, prev), xs)
         return logits, bars
 
 

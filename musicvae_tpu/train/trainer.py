@@ -92,6 +92,37 @@ def make_train_step(cfg: Config, model, opt=None,
     batch: {"x": [B,N,T,P] f32, optional "chord": [B,N] i32, "key_sig": [B] i32}
     """
     opt = opt or make_optimizer(cfg)
+    return jax.jit(_train_step_body(cfg, model, opt, use_pallas),
+                   donate_argnums=(0,))
+
+
+def make_train_step_multi(cfg: Config, model, k: int, opt=None,
+                          use_pallas: Optional[bool] = None) -> Callable:
+    """K train steps in ONE device program via lax.scan over micro-batches.
+
+    (state, stacked_batch) → (state, metrics of the last micro-step), where
+    every leaf of ``stacked_batch`` has a leading [K] axis. Amortizes the
+    host→device dispatch (the single-step path pays one dispatch per step,
+    which dominates at this model scale); the scan body is exactly the
+    single-step update, so K scanned steps == K sequential steps.
+    """
+    opt = opt or make_optimizer(cfg)
+    single = _train_step_body(cfg, model, opt, use_pallas)
+
+    def multi_step(state: TrainState, stacked_batch):
+        def body(carry, batch):
+            new_state, metrics = single(carry, batch)
+            return new_state, metrics
+        state, metrics = jax.lax.scan(body, state, stacked_batch)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
+def _train_step_body(cfg: Config, model, opt,
+                     use_pallas: Optional[bool] = None) -> Callable:
+    """The un-jitted single-step update shared by make_train_step and
+    make_train_step_multi."""
     if use_pallas is None:
         use_pallas = (cfg.train.use_pallas_loss
                       and jax.default_backend() == "tpu")
@@ -119,7 +150,7 @@ def make_train_step(cfg: Config, model, opt=None,
                                   step=state.step + 1, rng=next_rng)
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
 
 
 def make_eval_step(cfg: Config, model) -> Callable:
