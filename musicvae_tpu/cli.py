@@ -75,8 +75,7 @@ def cmd_train(args) -> int:
         state, cfg = checkpoints.restore(manager, template)
         print(f"resumed from step {manager.latest_step()}", file=sys.stderr)
     _, state, metrics = train(
-        cfg, ds.iterator(cfg.train.batch_size, cfg.train.seed),
-        mesh=mesh, ckpt_manager=manager, log_fn=logger, state=state)
+        cfg, ds, mesh=mesh, ckpt_manager=manager, log_fn=logger, state=state)
     checkpoints.save(manager, state, cfg, wait=True)
     logger.close()
     print(f"final metrics: { {k: float(v) for k, v in metrics.items()} }")
@@ -150,7 +149,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(fn=cmd_generate)
 
     args = parser.parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (big win on remote-compile TPU
+    setups, where identical programs can take minutes to recompile)."""
+    import jax
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/musicvae_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jaxlibs without the option
 
 
 if __name__ == "__main__":

@@ -1,4 +1,5 @@
 from musicvae_tpu.train.trainer import (  # noqa: F401
     TrainState, create_state, elbo_from_outputs, make_eval_step,
-    make_optimizer, make_train_step, train,
+    make_optimizer, make_train_step, make_train_step_indexed,
+    make_train_step_multi, train,
 )

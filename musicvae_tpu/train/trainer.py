@@ -20,6 +20,7 @@ from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -153,6 +154,29 @@ def _train_step_body(cfg: Config, model, opt,
     return train_step
 
 
+def make_train_step_indexed(cfg: Config, model, opt=None,
+                            use_pallas: Optional[bool] = None) -> Callable:
+    """Train step over a DEVICE-RESIDENT dataset: (state, data, idx) →
+    (state, metrics), where ``data`` is the full window cache living in HBM
+    and ``idx`` is a [batch] int32 index vector (the only per-step host
+    transfer — a few hundred bytes).
+
+    Rationale: the reference-style loop (host batch → device each step)
+    moves the whole batch across the host link every step; piano-roll
+    window caches are small (hundreds of MB ≪ HBM), so the TPU-first layout
+    is one upload at startup and an on-device gather per step. Measured on
+    the axon tunnel this is the difference between ~7 and ~300 steps/s.
+    """
+    opt = opt or make_optimizer(cfg)
+    single = _train_step_body(cfg, model, opt, use_pallas)
+
+    def step(state: TrainState, data, idx):
+        batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
+        return single(state, batch)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_eval_step(cfg: Config, model) -> Callable:
     """Deterministic eval: posterior mean (z = mu), beta = beta_max."""
 
@@ -172,13 +196,16 @@ def make_eval_step(cfg: Config, model) -> Callable:
 
 
 def train(cfg: Config,
-          data_iter: Iterator[Dict[str, Any]],
+          data: Any,
           num_steps: Optional[int] = None,
           mesh=None,
           ckpt_manager=None,
           log_fn: Optional[Callable[[int, Dict], None]] = None,
           state: Optional[TrainState] = None):
-    """Host-side loop: shard batch → jitted step → periodic log/ckpt.
+    """Host-side loop. ``data`` is either a PianoRollDataset (preferred:
+    uploaded to HBM once, batches gathered on-device by index — see
+    make_train_step_indexed) or an iterator of host batches (streaming
+    fallback for corpora that don't fit in HBM).
 
     Returns (model, final_state, last_metrics).
     """
@@ -187,14 +214,40 @@ def train(cfg: Config,
     if state is None:
         state = fresh
     state = jax.device_put(state, pmesh.replicated(mesh))
-    step_fn = make_train_step(cfg, model)
     num_steps = num_steps if num_steps is not None else cfg.train.num_steps
+    b = cfg.train.batch_size
+
+    resident = hasattr(data, "windows")
+    if resident:
+        arrays = {"x": data.windows}
+        if cfg.model.kind == "cond":
+            arrays["chord"] = data.chords
+            arrays["key_sig"] = data.keys
+        data_dev = jax.device_put(arrays, pmesh.replicated(mesh))
+        step_fn = make_train_step_indexed(cfg, model)
+        rng = np.random.default_rng(cfg.train.seed)
+        n = len(data)
+
+        def batches():
+            if n < b:
+                while True:
+                    yield rng.integers(0, n, size=b).astype(np.int32)
+            while True:
+                perm = rng.permutation(n).astype(np.int32)
+                for i in range(0, n - b + 1, b):
+                    yield perm[i:i + b]
+        idx_iter = batches()
+    else:
+        step_fn = make_train_step(cfg, model)
 
     metrics = {}
     step = 0  # host-side mirror of state.step: no per-step device sync
     for _ in range(num_steps):
-        batch = pmesh.shard_batch(next(data_iter), mesh)
-        state, metrics = step_fn(state, batch)
+        if resident:
+            state, metrics = step_fn(state, data_dev, next(idx_iter))
+        else:
+            batch = pmesh.shard_batch(next(data), mesh)
+            state, metrics = step_fn(state, batch)
         step += 1
         if log_fn is not None and step % cfg.train.log_every == 0:
             log_fn(step, jax.device_get(metrics))
