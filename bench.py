@@ -19,8 +19,8 @@ import time
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache.json")
 
-TRAIN_STEPS = 30
-WARMUP = 5
+TRAIN_STEPS = 200
+WARMUP = 10
 ORACLE_STEPS = 4
 
 
@@ -29,30 +29,38 @@ def log(*a):
 
 
 def bench_tpu_train(cfg):
+    """Production training path: device-resident window cache, on-device
+    batch gather by index (train.make_train_step_indexed — what the CLI
+    runs)."""
     import jax
     import jax.numpy as jnp
-    from musicvae_tpu.parallel import make_mesh, replicated, shard_batch
-    from musicvae_tpu.train import create_state, make_train_step
+    import numpy as np
+    from musicvae_tpu.parallel import make_mesh, replicated
+    from musicvae_tpu.train import create_state, make_train_step_indexed
 
     mesh = make_mesh(cfg.mesh)
     model, state = create_state(cfg)
     state = jax.device_put(state, replicated(mesh))
-    step_fn = make_train_step(cfg, model)
+    step_fn = make_train_step_indexed(cfg, model)
 
     b = cfg.train.batch_size
-    x = (jax.random.uniform(jax.random.key(0),
-                            (b, cfg.model.num_bars, 96, 128)) < 0.08
-         ).astype(jnp.float32)
-    batch = shard_batch({"x": x}, mesh)
+    n_windows = 1024
+    data = {"x": (jax.random.uniform(
+        jax.random.key(0), (n_windows, cfg.model.num_bars, 96, 128)) < 0.08
+        ).astype(jnp.float32)}
+    data = jax.device_put(data, replicated(mesh))
+    rng = np.random.default_rng(0)
+    idxs = rng.integers(0, n_windows, size=(WARMUP + TRAIN_STEPS, b)
+                        ).astype(np.int32)
 
     # NB: under the axon tunnel jax.block_until_ready can return before the
     # computation finishes; a host transfer (float()) is the reliable fence.
-    for _ in range(WARMUP):
-        state, metrics = step_fn(state, batch)
+    for i in range(WARMUP):
+        state, metrics = step_fn(state, data, idxs[i])
     float(metrics["loss"])
     t0 = time.perf_counter()
-    for _ in range(TRAIN_STEPS):
-        state, metrics = step_fn(state, batch)
+    for i in range(TRAIN_STEPS):
+        state, metrics = step_fn(state, data, idxs[WARMUP + i])
     float(metrics["loss"])
     dt = time.perf_counter() - t0
     return TRAIN_STEPS / dt
