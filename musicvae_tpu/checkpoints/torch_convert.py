@@ -97,11 +97,10 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any],
         if spec.use_prev_bar:
             params["decoder"]["prev_feat"] = _barfeat(sd, "prev_feat", ne)
         return params
-    if spec.kind == "gru_seq":
-        return {
+    if spec.kind in ("gru_seq", "hier", "cond"):
+        params = {
             "enc_feat": _barfeat(sd, "enc_feat", ne),
             "enc_gru": {"GRUCell_0": _gru(sd, "enc_gru")},
-            "z_head": {"Dense_0": _dense(sd, "z_head")},
             "decoder": {
                 "h_init": _dense(sd, "h_init"),
                 "prev_feat": _barfeat(sd, "prev_feat", ne),
@@ -109,9 +108,20 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any],
                 "head": _head(sd, "head", nd),
             },
         }
-    raise NotImplementedError(
-        f"torch converter for kind={spec.kind!r} (oracle covers the "
-        "reference's conv/GRU family; hier/cond are rebuild-only extensions)")
+        if spec.kind == "hier":
+            params["phrase_head"] = {"Dense_0": _dense(sd, "phrase_head")}
+            params["bar_head"] = {"Dense_0": _dense(sd, "bar_head")}
+            params["decoder"]["cond_init"] = _dense(sd, "cond_init")
+            params["decoder"]["conductor"] = _gru(sd, "conductor")
+        else:
+            params["z_head"] = {"Dense_0": _dense(sd, "z_head")}
+        if spec.kind == "cond":
+            params["chord_emb"] = {
+                "embedding": np.asarray(sd["chord_emb.weight"])}
+            params["key_emb"] = {
+                "embedding": np.asarray(sd["key_emb.weight"])}
+        return params
+    raise NotImplementedError(spec.kind)
 
 
 def flax_params_to_torch_state_dict(params: Dict[str, Any],
@@ -173,14 +183,23 @@ def flax_params_to_torch_state_dict(params: Dict[str, Any],
         put_head("head", params["decoder"]["head"])
         if spec.use_prev_bar:
             put_barfeat("prev_feat", params["decoder"]["prev_feat"])
-    elif spec.kind == "gru_seq":
+    elif spec.kind in ("gru_seq", "hier", "cond"):
         put_barfeat("enc_feat", params["enc_feat"])
         put_gru("enc_gru", params["enc_gru"]["GRUCell_0"])
-        put_dense("z_head", params["z_head"]["Dense_0"])
         put_dense("h_init", params["decoder"]["h_init"])
         put_barfeat("prev_feat", params["decoder"]["prev_feat"])
         put_gru("dec_gru", params["decoder"]["seq_gru"])
         put_head("head", params["decoder"]["head"])
+        if spec.kind == "hier":
+            put_dense("phrase_head", params["phrase_head"]["Dense_0"])
+            put_dense("bar_head", params["bar_head"]["Dense_0"])
+            put_dense("cond_init", params["decoder"]["cond_init"])
+            put_gru("conductor", params["decoder"]["conductor"])
+        else:
+            put_dense("z_head", params["z_head"]["Dense_0"])
+        if spec.kind == "cond":
+            out["chord_emb.weight"] = t(params["chord_emb"]["embedding"])
+            out["key_emb.weight"] = t(params["key_emb"]["embedding"])
     else:
         raise NotImplementedError(spec.kind)
     return out

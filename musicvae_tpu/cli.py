@@ -150,7 +150,21 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     args = parser.parse_args(argv)
     _enable_compile_cache()
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except KeyError as e:
+        # unknown --config etc.: clean one-liner instead of a traceback
+        print(f"error: {e.args[0] if e.args else e}", file=sys.stderr)
+        return 2
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except Exception as e:
+        from musicvae_tpu.midi.smf import SMFError
+        if isinstance(e, SMFError):
+            print(f"error: malformed MIDI: {e}", file=sys.stderr)
+            return 2
+        raise
 
 
 def _enable_compile_cache() -> None:

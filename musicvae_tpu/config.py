@@ -64,11 +64,14 @@ class TrainSpec:
     adam_b2: float = 0.999
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0          # 0 disables
-    # KL annealing: beta ramps linearly 0 -> beta_max over warmup steps,
-    # after an initial hold of beta_hold_steps at 0.
+    # KL annealing (ops/losses.beta_schedule): "linear" ramps 0 -> beta_max
+    # over warmup steps after beta_hold_steps at 0; "cyclical" repeats the
+    # ramp every beta_cycle_steps (posterior-collapse mitigation).
+    beta_schedule: str = "linear"
     beta_max: float = 1.0
     beta_warmup_steps: int = 2000
     beta_hold_steps: int = 0
+    beta_cycle_steps: int = 0
     num_steps: int = 10000
     log_every: int = 100
     ckpt_every: int = 1000

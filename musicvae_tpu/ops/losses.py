@@ -66,13 +66,25 @@ def elbo_loss(
 
 
 def beta_schedule(step: jax.Array, beta_max: float, warmup_steps: int,
-                  hold_steps: int = 0) -> jax.Array:
-    """KL-annealing weight: 0 for hold_steps, then linear ramp to beta_max.
+                  hold_steps: int = 0, mode: str = "linear",
+                  cycle_steps: int = 0) -> jax.Array:
+    """KL-annealing weight — pure function of the step counter so it lives
+    inside the jitted train step (no host-side schedule state).
 
-    Pure function of the step counter so it lives inside the jitted train
-    step (no host-side schedule state).
+    - ``linear`` (the reference's KL-annealed ELBO): 0 for ``hold_steps``,
+      then a linear ramp to ``beta_max`` over ``warmup_steps``.
+    - ``cyclical`` (Fu et al. 2019 cyclical annealing; standard in the
+      music-VAE literature to fight posterior collapse): within each
+      ``cycle_steps`` window, ramp 0→beta_max over ``warmup_steps`` and
+      hold at beta_max for the remainder.
     """
     s = jnp.maximum(step - hold_steps, 0).astype(jnp.float32)
+    if mode == "cyclical":
+        if cycle_steps <= 0:
+            raise ValueError("cyclical schedule needs cycle_steps > 0")
+        s = jnp.mod(s, float(cycle_steps))
+    elif mode != "linear":
+        raise ValueError(f"unknown beta schedule mode {mode!r}")
     if warmup_steps <= 0:
         return jnp.asarray(beta_max, jnp.float32)
     frac = jnp.minimum(s / float(warmup_steps), 1.0)

@@ -140,7 +140,8 @@ def _train_step_body(cfg: Config, model, opt,
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         beta = losses.beta_schedule(state.step, t.beta_max,
-                                    t.beta_warmup_steps, t.beta_hold_steps)
+                                    t.beta_warmup_steps, t.beta_hold_steps,
+                                    t.beta_schedule, t.beta_cycle_steps)
         step_rng, next_rng = jax.random.split(state.rng)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, batch, step_rng, beta)

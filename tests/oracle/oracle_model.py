@@ -105,7 +105,8 @@ def _clamp_logvar(lv: torch.Tensor) -> torch.Tensor:
 
 
 class OracleVAE(nn.Module):
-    """conv_bar (C1) and gru_seq (C2) kinds; teacher-forced ELBO forward."""
+    """All four reference kinds (conv_bar C1, gru_seq C2, hier C3, cond C4);
+    teacher-forced ELBO forward, mirroring musicvae_tpu/models exactly."""
 
     def __init__(self, cfg: Config):
         super().__init__()
@@ -114,6 +115,7 @@ class OracleVAE(nn.Module):
         t0 = midi.steps_per_bar // (2 ** len(spec.enc_channels))
         p0 = midi.num_pitches // (2 ** len(spec.enc_channels))
         flat = t0 * p0 * spec.enc_channels[-1]
+        cond_dim = 2 * spec.cond_embed_dim if spec.kind == "cond" else 0
         if spec.kind == "conv_bar":
             self.enc_trunk = OracleTrunk(spec, midi)
             self.z_head = nn.Linear(flat, 2 * spec.z_dim)
@@ -122,79 +124,150 @@ class OracleVAE(nn.Module):
             self.head = OracleHead(spec, midi, head_in)
             if spec.use_prev_bar:
                 self.prev_feat = OracleBarFeat(spec, midi, spec.bar_feat_dim)
-        elif spec.kind == "gru_seq":
-            self.enc_feat = OracleBarFeat(spec, midi, spec.bar_feat_dim)
-            self.enc_gru = nn.GRUCell(spec.bar_feat_dim, spec.gru_hidden)
+            return
+        # GRU family (gru_seq / hier / cond)
+        self.enc_feat = OracleBarFeat(spec, midi, spec.bar_feat_dim)
+        self.enc_gru = nn.GRUCell(spec.bar_feat_dim + cond_dim,
+                                  spec.gru_hidden)
+        self.prev_feat = OracleBarFeat(spec, midi, spec.bar_feat_dim)
+        self.h_init = nn.Linear(spec.z_dim, spec.gru_hidden)
+        self.dec_gru = nn.GRUCell(spec.z_dim + spec.bar_feat_dim + cond_dim,
+                                  spec.gru_hidden)
+        if spec.kind == "hier":
+            self.phrase_head = nn.Linear(spec.gru_hidden,
+                                         2 * spec.z_phrase_dim)
+            self.bar_head = nn.Linear(spec.bar_feat_dim + spec.z_phrase_dim,
+                                      2 * spec.z_dim)
+            self.cond_init = nn.Linear(spec.z_phrase_dim, spec.gru_hidden)
+            self.conductor = nn.GRUCell(spec.z_phrase_dim, spec.gru_hidden)
+            self.head = OracleHead(spec, midi, 2 * spec.gru_hidden)
+        else:
             self.z_head = nn.Linear(spec.gru_hidden, 2 * spec.z_dim)
-            self.h_init = nn.Linear(spec.z_dim, spec.gru_hidden)
-            self.prev_feat = OracleBarFeat(spec, midi, spec.bar_feat_dim)
-            self.dec_gru = nn.GRUCell(spec.z_dim + spec.bar_feat_dim,
-                                      spec.gru_hidden)
-            self.head = OracleHead(spec, midi, spec.gru_hidden)
-        else:
-            raise NotImplementedError(spec.kind)
+            self.head = OracleHead(spec, midi, spec.gru_hidden + cond_dim)
+        if spec.kind == "cond":
+            self.chord_emb = nn.Embedding(spec.cond_chord_classes,
+                                          spec.cond_embed_dim)
+            self.key_emb = nn.Embedding(spec.cond_key_classes,
+                                        spec.cond_embed_dim)
 
-    def encode(self, x: torch.Tensor) -> Tuple[torch.Tensor, torch.Tensor]:
+    def cond_vector(self, chord, key_sig, n):
+        ce = self.chord_emb(chord)                          # [B,N,E]
+        ke = self.key_emb(key_sig)[:, None, :].expand(-1, n, -1)
+        return torch.cat([ce, ke], dim=-1)
+
+    def _bar_feats(self, x):
+        b, n = x.shape[:2]
+        return self.enc_feat(x.reshape(b * n, *x.shape[2:])).reshape(b, n, -1)
+
+    def _enc_gru_last(self, f):
+        b, n = f.shape[:2]
+        h = f.new_zeros(b, self.spec.gru_hidden)
+        for t in range(n):
+            h = self.enc_gru(f[:, t], h)
+        return h
+
+    def encode(self, x, cond_vec=None):
+        """conv/gru_seq/cond: (mu, logvar); hier: (mu_p, lv_p, bar_feats)."""
         if self.spec.kind == "conv_bar":
-            out = self.z_head(self.enc_trunk(x[:, 0]))
-        else:
-            b, n = x.shape[:2]
-            f = self.enc_feat(x.reshape(b * n, *x.shape[2:]))
-            f = f.reshape(b, n, -1)
-            h = x.new_zeros(b, self.spec.gru_hidden)
-            for t in range(n):
-                h = self.enc_gru(f[:, t], h)
-            out = self.z_head(h)
-        mu, logvar = out.chunk(2, dim=-1)
+            mu, logvar = self.z_head(self.enc_trunk(x[:, 0])).chunk(2, -1)
+            return mu, _clamp_logvar(logvar)
+        f = self._bar_feats(x)
+        if cond_vec is not None:
+            f = torch.cat([f, cond_vec], dim=-1)
+        h = self._enc_gru_last(f)
+        if self.spec.kind == "hier":
+            mu_p, lv_p = self.phrase_head(h).chunk(2, -1)
+            return mu_p, _clamp_logvar(lv_p), f
+        mu, logvar = self.z_head(h).chunk(2, -1)
         return mu, _clamp_logvar(logvar)
 
-    def decode_teacher_forced(self, z: torch.Tensor,
-                              x: torch.Tensor) -> torch.Tensor:
+    def decode_teacher_forced(self, z_bars, x, cond_vec=None, z_phrase=None):
+        """z_bars: [B,N,z] per-bar latents (broadcast for non-hier)."""
         b, n = x.shape[:2]
+        spec = self.spec
         logits: List[torch.Tensor] = []
-        if self.spec.kind == "conv_bar":
+        if spec.kind == "conv_bar":
             for t in range(n):
-                vs = [z]
-                if self.spec.use_prev_bar:
+                vs = [z_bars[:, t]]
+                if spec.use_prev_bar:
                     prev = (torch.zeros_like(x[:, 0]) if t == 0
                             else x[:, t - 1])
                     vs.append(self.prev_feat(prev))
                 logits.append(self.head(torch.cat(vs, dim=-1)))
-        else:
-            h = torch.tanh(self.h_init(z))
-            for t in range(n):
-                prev = torch.zeros_like(x[:, 0]) if t == 0 else x[:, t - 1]
-                feat = self.prev_feat(prev)
-                h = self.dec_gru(torch.cat([z, feat], dim=-1), h)
-                logits.append(self.head(h))
+            return torch.stack(logits, dim=1)
+        h = hc = None
+        for t in range(n):
+            z = z_bars[:, t]
+            prev = torch.zeros_like(x[:, 0]) if t == 0 else x[:, t - 1]
+            feat = self.prev_feat(prev)
+            gru_in = [z, feat]
+            if spec.kind == "cond":
+                gru_in.append(cond_vec[:, t])
+            h0 = torch.tanh(self.h_init(z))
+            h = h0 if t == 0 else h
+            h = self.dec_gru(torch.cat(gru_in, dim=-1), h)
+            head_in = [h]
+            if spec.kind == "cond":
+                head_in.append(cond_vec[:, t])
+            if spec.kind == "hier":
+                hc = torch.tanh(self.cond_init(z_phrase)) if t == 0 else hc
+                hc = self.conductor(z_phrase, hc)
+                head_in.append(hc)
+            logits.append(self.head(torch.cat(head_in, dim=-1)))
         return torch.stack(logits, dim=1)
 
-    def forward(self, x: torch.Tensor, eps: Optional[torch.Tensor] = None):
-        mu, logvar = self.encode(x)
+    def forward(self, x: torch.Tensor, eps: Optional[torch.Tensor] = None,
+                chord: Optional[torch.Tensor] = None,
+                key_sig: Optional[torch.Tensor] = None,
+                eps_bar: Optional[torch.Tensor] = None):
+        """Returns (logits, latents) with latents = [(mu, lv), ...] like the
+        flax model (one level, or [phrase, bar] for hier)."""
+        b, n = x.shape[:2]
+        cond_vec = None
+        if self.spec.kind == "cond":
+            cond_vec = self.cond_vector(chord, key_sig, n)
+        if self.spec.kind == "hier":
+            mu_p, lv_p, f = self.encode(x)
+            if eps is None:
+                eps = torch.randn_like(mu_p)
+            z_p = mu_p + eps * torch.exp(0.5 * lv_p)
+            zp_b = z_p[:, None, :].expand(-1, n, -1)
+            mu_b, lv_b = self.bar_head(
+                torch.cat([f, zp_b], dim=-1)).chunk(2, -1)
+            lv_b = _clamp_logvar(lv_b)
+            if eps_bar is None:
+                eps_bar = torch.randn_like(mu_b)
+            z_bars = mu_b + eps_bar * torch.exp(0.5 * lv_b)
+            logits = self.decode_teacher_forced(z_bars, x, z_phrase=z_p)
+            return logits, [(mu_p, lv_p), (mu_b, lv_b)]
+        mu, logvar = self.encode(x, cond_vec)
         if eps is None:
             eps = torch.randn_like(mu)
         z = mu + eps * torch.exp(0.5 * logvar)
-        logits = self.decode_teacher_forced(z, x)
-        return logits, mu, logvar
+        z_bars = z[:, None, :].expand(-1, n, -1)
+        logits = self.decode_teacher_forced(z_bars, x, cond_vec)
+        return logits, [(mu, logvar)]
 
 
 def oracle_elbo(logits: torch.Tensor, x: torch.Tensor, mask: torch.Tensor,
-                mu: torch.Tensor, logvar: torch.Tensor, beta: float):
-    """Same conventions as ops/losses.py (sum-per-sample, batch mean)."""
+                latents, beta: float):
+    """Same conventions as ops/losses.py (sum-per-sample, batch mean);
+    latents: [(mu, logvar), ...], KLs summed over levels."""
     batch = logits.shape[0]
     bce = F.binary_cross_entropy_with_logits(logits, x, reduction="none")
     recon = (bce * mask).sum() / batch
-    kl = -0.5 * (1 + logvar - mu.pow(2) - logvar.exp()).sum() / batch
+    kl = sum(-0.5 * (1 + lv - mu.pow(2) - lv.exp()).sum()
+             for mu, lv in latents) / batch
     return recon + beta * kl, recon, kl
 
 
 def oracle_train_step(model: OracleVAE, opt: torch.optim.Optimizer,
                       x: torch.Tensor, mask: torch.Tensor,
-                      beta: float) -> float:
+                      beta: float, **kw) -> float:
     """One reference-style train step (fwd → ELBO → backward → Adam)."""
     opt.zero_grad()
-    logits, mu, logvar = model(x)
-    loss, _, _ = oracle_elbo(logits, x, mask, mu, logvar, beta)
+    logits, latents = model(x, **kw)
+    loss, _, _ = oracle_elbo(logits, x, mask, latents, beta)
     loss.backward()
     opt.step()
     return float(loss.detach())

@@ -1,0 +1,42 @@
+"""CLI entry-point tests (L6): in-process main() on the CPU test backend."""
+
+import os
+
+import numpy as np
+import pytest
+
+from musicvae_tpu.cli import main
+
+
+def test_preprocess_writes_cache(tmp_path, capsys):
+    out = str(tmp_path / "rolls.npz")
+    rc = main(["preprocess", "--config", "c1_conv_bar",
+               "--synthetic-pieces", "3", "--out", out])
+    assert rc == 0
+    with np.load(out) as z:
+        assert z["windows"].shape[1:] == (1, 96, 128)
+        assert z["windows"].shape[0] > 0
+
+
+def test_unknown_config_clean_error(capsys):
+    rc = main(["train", "--config", "nope"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "unknown config" in err and "Traceback" not in err
+
+
+def test_malformed_midi_clean_error(tmp_path, capsys):
+    bad = tmp_path / "bad.mid"
+    bad.write_bytes(b"definitely not midi")
+    rc = main(["preprocess", "--config", "c1_conv_bar",
+               "--midi-glob", str(bad), "--out", str(tmp_path / "x.npz")])
+    assert rc == 2
+    assert "malformed MIDI" in capsys.readouterr().err
+
+
+def test_empty_glob_errors(tmp_path, capsys):
+    rc = main(["preprocess", "--config", "c1_conv_bar",
+               "--midi-glob", str(tmp_path / "*.mid"),
+               "--out", str(tmp_path / "x.npz")])
+    assert rc == 1
+    assert "no MIDI files" in capsys.readouterr().err

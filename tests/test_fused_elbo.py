@@ -74,6 +74,28 @@ def test_fused_elbo_matches_elbo_loss_and_grads():
         np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_beta_schedule_linear_and_cyclical():
+    import numpy as np
+    from musicvae_tpu.ops.losses import beta_schedule
+
+    # linear: hold, ramp, saturate
+    assert float(beta_schedule(0, 1.0, 100, hold_steps=10)) == 0.0
+    assert float(beta_schedule(10, 1.0, 100, hold_steps=10)) == 0.0
+    np.testing.assert_allclose(
+        float(beta_schedule(60, 1.0, 100, hold_steps=10)), 0.5)
+    assert float(beta_schedule(10_000, 1.0, 100, hold_steps=10)) == 1.0
+    # cyclical: ramp repeats every cycle
+    for s, want in [(0, 0.0), (50, 0.5), (100, 1.0), (150, 1.0),
+                    (200, 0.0), (250, 0.5)]:
+        np.testing.assert_allclose(
+            float(beta_schedule(s, 1.0, 100, mode="cyclical",
+                                cycle_steps=200)), want)
+    with pytest.raises(ValueError):
+        beta_schedule(0, 1.0, 100, mode="cyclical", cycle_steps=0)
+    with pytest.raises(ValueError):
+        beta_schedule(0, 1.0, 100, mode="bogus")
+
+
 def test_fused_elbo_under_jit():
     logits, x, mask, mu, logvar = _data(b=2, n=1)
     f = jax.jit(lambda l: fused_elbo(l, x, mask, mu, logvar, 1.0)[0])

@@ -1,6 +1,8 @@
 """BASELINE parity bar: ELBO-equivalent reconstructions from the same
 checkpoints — torch oracle weights → flax via the converter, identical
 inputs and noise draws, logits and ELBO must agree (≪ the 1% bar).
+Covers all four reference kinds (C1 conv, C2 GRU, C3 hierarchical,
+C4 conditional).
 """
 
 import dataclasses
@@ -14,21 +16,33 @@ import torch
 from conftest import cpu_friendly
 from musicvae_tpu.checkpoints.torch_convert import (
     flax_params_to_torch_state_dict, torch_state_dict_to_flax)
-from musicvae_tpu.config import C1_CONV_BAR, C2_GRU_4BAR
+from musicvae_tpu.config import (C1_CONV_BAR, C2_GRU_4BAR, C3_HIER_16BAR,
+                                 C4_COND)
 from musicvae_tpu.midi.tensorize import pitch_mask
 from musicvae_tpu.models import build_model
 from musicvae_tpu.ops import losses
 from tests.oracle.oracle_model import OracleVAE, oracle_elbo
 
 
-def tiny(cfg):
+def tiny(cfg, num_bars=None):
     m = dataclasses.replace(cfg.model, enc_channels=(4, 8, 8, 8, 8),
                             dec_channels=(8, 8, 8, 8, 8), z_dim=16,
-                            gru_hidden=32, bar_feat_dim=32, dtype="float32")
+                            z_phrase_dim=24, gru_hidden=32, bar_feat_dim=32,
+                            cond_embed_dim=8, dtype="float32",
+                            **({"num_bars": num_bars} if num_bars else {}))
     return cpu_friendly(cfg.replace(model=m))
 
 
-def _parity_case(cfg, seed=0):
+CASES = {
+    "c1": tiny(C1_CONV_BAR),
+    "c2": tiny(C2_GRU_4BAR),
+    "c3": tiny(C3_HIER_16BAR, num_bars=4),
+    "c4": tiny(C4_COND),
+}
+
+
+def _parity_case(name, seed=0):
+    cfg = CASES[name]
     torch.manual_seed(seed)
     oracle = OracleVAE(cfg)
     flax_params = torch_state_dict_to_flax(oracle.state_dict(), cfg)
@@ -37,57 +51,82 @@ def _parity_case(cfg, seed=0):
     rng = np.random.default_rng(seed)
     b, n = 4, cfg.model.num_bars
     x = (rng.random((b, n, 96, 128)) < 0.05).astype(np.float32)
-    eps = rng.standard_normal((b, cfg.model.z_dim)).astype(np.float32)
+
+    t_kw, f_kw = {}, {}
+    if cfg.model.kind == "cond":
+        chord = rng.integers(0, 24, (b, n)).astype(np.int32)
+        key_sig = rng.integers(0, 24, (b,)).astype(np.int32)
+        t_kw = {"chord": torch.tensor(chord).long(),
+                "key_sig": torch.tensor(key_sig).long()}
+        f_kw = {"chord": jnp.asarray(chord), "key_sig": jnp.asarray(key_sig)}
+    if cfg.model.kind == "hier":
+        eps_p = rng.standard_normal((b, cfg.model.z_phrase_dim)).astype(
+            np.float32)
+        eps_b = rng.standard_normal((b, n, cfg.model.z_dim)).astype(
+            np.float32)
+        t_kw["eps_bar"] = torch.tensor(eps_b)
+        eps_t = torch.tensor(eps_p)
+        eps_f = (jnp.asarray(eps_p), jnp.asarray(eps_b))
+    else:
+        e = rng.standard_normal((b, cfg.model.z_dim)).astype(np.float32)
+        eps_t, eps_f = torch.tensor(e), (jnp.asarray(e),)
 
     with torch.no_grad():
-        logits_t, mu_t, lv_t = oracle(torch.tensor(x), torch.tensor(eps))
+        logits_t, latents_t = oracle(torch.tensor(x), eps_t, **t_kw)
     logits_f, latents_f = model.apply({"params": flax_params},
-                                      jnp.asarray(x),
-                                      eps=(jnp.asarray(eps),))
-    return (x, np.asarray(logits_f), latents_f,
-            logits_t.numpy(), mu_t.numpy(), lv_t.numpy())
+                                      jnp.asarray(x), eps=eps_f, **f_kw)
+    return cfg, x, np.asarray(logits_f), latents_f, logits_t, latents_t
 
 
-@pytest.mark.parametrize("cfg_base", [C1_CONV_BAR, C2_GRU_4BAR],
-                         ids=["c1", "c2"])
-def test_logits_parity_same_weights(cfg_base):
-    cfg = tiny(cfg_base)
-    x, lf, latents_f, lt, mu_t, lv_t = _parity_case(cfg)
-    mu_f, lv_f = np.asarray(latents_f[0][0]), np.asarray(latents_f[0][1])
-    np.testing.assert_allclose(mu_f, mu_t, atol=2e-5)
-    np.testing.assert_allclose(lv_f, lv_t, atol=2e-5)
-    np.testing.assert_allclose(lf, lt, atol=2e-4)
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_logits_parity_same_weights(name):
+    cfg, x, lf, latents_f, lt, latents_t = _parity_case(name)
+    for (mu_f, lv_f), (mu_t, lv_t) in zip(latents_f, latents_t):
+        np.testing.assert_allclose(np.asarray(mu_f), mu_t.numpy(), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(lv_f), lv_t.numpy(), atol=3e-5)
+    np.testing.assert_allclose(lf, lt.numpy(), atol=5e-4)
 
 
-@pytest.mark.parametrize("cfg_base", [C1_CONV_BAR, C2_GRU_4BAR],
-                         ids=["c1", "c2"])
-def test_elbo_parity_within_1pct(cfg_base):
-    cfg = tiny(cfg_base)
-    x, lf, latents_f, lt, mu_t, lv_t = _parity_case(cfg)
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_elbo_parity_within_1pct(name):
+    cfg, x, lf, latents_f, lt, latents_t = _parity_case(name)
     mask = pitch_mask(cfg.midi)
-    mu_f, lv_f = latents_f[0]
-    elbo_f, _ = losses.elbo_loss(jnp.asarray(lf), jnp.asarray(x), mask,
-                                 mu_f, lv_f, 1.0)
-    elbo_t, _, _ = oracle_elbo(torch.tensor(lt), torch.tensor(x),
-                               torch.ones(128), torch.tensor(mu_t),
-                               torch.tensor(lv_t), 1.0)
-    rel = abs(float(elbo_f) - float(elbo_t)) / abs(float(elbo_t))
+    batch = lf.shape[0]
+    recon = losses.masked_bce_sum(jnp.asarray(lf), jnp.asarray(x),
+                                  mask) / batch
+    kl = sum(losses.kl_diag_gaussian(mu, lv)
+             for mu, lv in latents_f) / batch
+    elbo_f = float(recon + kl)
+    elbo_t, _, _ = oracle_elbo(lt, torch.tensor(x), torch.ones(128),
+                               latents_t, 1.0)
+    rel = abs(elbo_f - float(elbo_t)) / abs(float(elbo_t))
     assert rel < 0.01, f"ELBO parity {rel:.2e} exceeds 1%"
     assert rel < 1e-4   # in practice the agreement is numerical-noise level
 
 
-def test_roundtrip_flax_to_torch_to_flax():
-    cfg = tiny(C2_GRU_4BAR)
+@pytest.mark.parametrize("name", ["c2", "c3", "c4"])
+def test_roundtrip_flax_to_torch_to_flax(name):
+    cfg = CASES[name]
     torch.manual_seed(3)
     oracle = OracleVAE(cfg)
     p1 = torch_state_dict_to_flax(oracle.state_dict(), cfg)
     sd = flax_params_to_torch_state_dict(p1, cfg)
     oracle2 = OracleVAE(cfg)
     oracle2.load_state_dict(sd)
-    x = torch.rand(2, cfg.model.num_bars, 96, 128).round()
-    eps = torch.randn(2, cfg.model.z_dim)
+    n = cfg.model.num_bars
+    x = torch.rand(2, n, 96, 128).round()
+    kw = {}
+    if cfg.model.kind == "cond":
+        kw = {"chord": torch.zeros(2, n).long(),
+              "key_sig": torch.zeros(2).long()}
+    eps = torch.randn(2, cfg.model.z_phrase_dim if cfg.model.kind == "hier"
+                      else cfg.model.z_dim)
     with torch.no_grad():
-        a = oracle(x, eps)[0]
-        b = oracle2(x, eps)[0]
+        a = oracle(x, eps, **kw) if cfg.model.kind != "hier" else None
+        b = oracle2(x, eps, **kw) if cfg.model.kind != "hier" else None
+        if cfg.model.kind == "hier":
+            eb = torch.randn(2, n, cfg.model.z_dim)
+            a = oracle(x, eps, eps_bar=eb)
+            b = oracle2(x, eps, eps_bar=eb)
     # b_hh_r/b_hh_z fold into input biases: outputs identical, weights not
-    np.testing.assert_allclose(a.numpy(), b.numpy(), atol=1e-5)
+    np.testing.assert_allclose(a[0].numpy(), b[0].numpy(), atol=1e-5)
