@@ -4,3 +4,6 @@ from musicvae_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS, MODEL_AXIS,
     batch_sharding, make_mesh, replicated, shard_batch,
 )
+from musicvae_tpu.parallel.tp import (  # noqa: F401
+    DEFAULT_TP_RULES, param_shardings, shard_params,
+)

@@ -1,0 +1,76 @@
+"""Tensor-parallel (model-axis) param sharding — SURVEY §2.2.
+
+The reference is single-device; these models are ≤ a few M params, so TP is
+a demonstration axis (off by default, mesh model=1). It is implemented the
+GSPMD way: NO separate model code — a rule table maps param-tree paths to
+PartitionSpecs, params (and, via zeros_like, optimizer moments) are placed
+with those shardings, and XLA partitions the jitted step and inserts the
+collectives over ICI.
+
+Default rules shard the decoder's widest layers (the deconv head dense +
+conv channel dims) over 'model'; everything unmatched stays replicated.
+Correctness (TP+DP run ≡ replicated run) is asserted in
+tests/test_parallel.py on the fake 8-device mesh.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from musicvae_tpu.parallel.mesh import MODEL_AXIS
+
+# (path regex, PartitionSpec) — first match wins; unmatched ⇒ replicated.
+# Paths are '/'-joined param-tree keys, e.g. 'decoder/head/Dense_0/kernel'.
+DEFAULT_TP_RULES: List[Tuple[str, P]] = [
+    # decoder head: dense into the deconv stack (the widest matmul)
+    (r"decoder/head/Dense_0/kernel$", P(None, MODEL_AXIS)),
+    (r"decoder/head/Dense_0/bias$", P(MODEL_AXIS)),
+    # deconv kernels (kh, kw, out, in): shard the output-channel dim
+    (r"decoder/head/ConvTranspose_[0-3]/kernel$",
+     P(None, None, MODEL_AXIS, None)),
+    (r"decoder/head/ConvTranspose_[0-3]/bias$", P(MODEL_AXIS)),
+    # bar feature extractors: conv kernels (kh, kw, in, out) on out-channels
+    (r"(enc_feat|prev_feat).*/Conv_[1-4]/kernel$",
+     P(None, None, None, MODEL_AXIS)),
+    (r"(enc_feat|prev_feat).*/Conv_[1-4]/bias$", P(MODEL_AXIS)),
+]
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", k)) for k in path)
+
+
+def param_shardings(params, mesh: Mesh,
+                    rules: Sequence[Tuple[str, P]] = DEFAULT_TP_RULES):
+    """Pytree of NamedShardings matching ``params`` (rule table above).
+
+    Specs are validated against leaf shapes: a spec whose sharded dimension
+    does not divide evenly by the mesh axis falls back to replicated (e.g.
+    the final 1-channel deconv).
+    """
+    compiled = [(re.compile(pat), spec) for pat, spec in rules]
+    axis_size = mesh.shape[MODEL_AXIS]
+
+    def assign(path, leaf):
+        name = _path_str(path)
+        for pat, spec in compiled:
+            if pat.search(name):
+                ok = all(
+                    dim is None or leaf.shape[i] % axis_size == 0
+                    for i, dim in enumerate(spec))
+                if ok and len(spec) <= leaf.ndim:
+                    return NamedSharding(mesh, spec)
+                break
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_params(params, mesh: Mesh,
+                 rules: Sequence[Tuple[str, P]] = DEFAULT_TP_RULES):
+    """Place params on the mesh per the TP rules."""
+    return jax.device_put(params, param_shardings(params, mesh, rules))
