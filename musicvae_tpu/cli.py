@@ -82,6 +82,40 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    import jax
+    import numpy as np
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.config import get_config
+    from musicvae_tpu.data import PianoRollDataset
+    from musicvae_tpu.train import create_state
+    from musicvae_tpu.utils.metrics import make_eval_fn
+
+    cfg = get_config(args.config)
+    model, state = create_state(cfg)
+    manager = checkpoints.make_manager(args.ckpt_dir)
+    if manager.latest_step() is None:
+        raise FileNotFoundError(f"no checkpoint in {args.ckpt_dir}")
+    state, cfg = checkpoints.restore(manager, state)
+    from musicvae_tpu.models import build_model
+    model = build_model(cfg)
+    ds = PianoRollDataset.load_npy(args.data)
+    eval_fn = make_eval_fn(cfg, model)
+    b = cfg.train.batch_size
+    rng = np.random.default_rng(0)
+    acc = {}
+    n_batches = min(args.batches, max(1, len(ds) // b))
+    for i in range(n_batches):
+        idx = rng.integers(0, len(ds), size=b)
+        m = jax.device_get(eval_fn(state.params, ds.batch(idx),
+                                   jax.random.key(i)))
+        for k, v in m.items():
+            acc.setdefault(k, []).append(float(v))
+    means = {k: sum(v) / len(v) for k, v in acc.items()}
+    print(" ".join(f"{k}={v:.5g}" for k, v in sorted(means.items())))
+    return 0
+
+
 def cmd_generate(args) -> int:
     import dataclasses
     import jax
@@ -136,6 +170,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--resume", action="store_true")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="reconstruction metrics on a dataset")
+    _add_common(p)
+    p.add_argument("--data", required=True, help="npz cache from preprocess")
+    p.add_argument("--batches", type=int, default=8)
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("generate", help="bar-by-bar autoregressive sampling")
     _add_common(p)

@@ -102,3 +102,18 @@ def test_fused_elbo_under_jit():
     np.testing.assert_allclose(
         f(logits), losses.elbo_loss(logits, x, mask, mu, logvar, 1.0)[0],
         rtol=1e-5)
+
+
+def test_recon_prf_metrics():
+    from musicvae_tpu.utils.metrics import recon_prf
+
+    x = jnp.zeros((1, 4, 4)).at[0, 0, :2].set(1.0)      # 2 true cells
+    r = jnp.zeros((1, 4, 4)).at[0, 0, 0].set(1.0).at[0, 1, 0].set(1.0)
+    m = recon_prf(r, x, jnp.ones(4))
+    np.testing.assert_allclose(m["precision"], 0.5)      # 1 of 2 predicted
+    np.testing.assert_allclose(m["recall"], 0.5)         # 1 of 2 true
+    np.testing.assert_allclose(m["f1"], 0.5)
+    # mask excludes the false positive column -> perfect precision
+    mask = jnp.ones(4).at[0].set(1.0)
+    m2 = recon_prf(r, x, jnp.array([1.0, 1.0, 0.0, 0.0]))
+    assert float(m2["precision"]) == 0.5
