@@ -119,3 +119,30 @@ def test_interpolation_path_endpoints():
     np.testing.assert_array_equal(
         np.asarray(reset[0]),
         np.asarray([1, 0, 0, 0] * 4, dtype=np.float32))
+
+
+def test_multi_step_scan_equals_sequential(corpus):
+    """make_train_step_multi(k) scanned on device == k sequential steps."""
+    from musicvae_tpu.train import make_train_step_multi
+
+    cfg = tiny(cpu_friendly(C1_CONV_BAR))
+    ds = PianoRollDataset.from_corpus(corpus, cfg.midi, cfg.model.num_bars)
+    batch = ds.batch(np.arange(cfg.train.batch_size))
+
+    model, s_seq = create_state(cfg)
+    step = make_train_step(cfg, model, use_pallas=False)
+    for _ in range(4):
+        s_seq, m_seq = step(s_seq, batch)
+
+    _, s_multi = create_state(cfg)
+    multi = make_train_step_multi(cfg, model, 4, use_pallas=False)
+    stacked = jax.tree.map(lambda a: np.broadcast_to(a, (4, *a.shape)),
+                           batch)
+    s_multi, m_multi = multi(s_multi, stacked)
+
+    assert int(s_multi.step) == int(s_seq.step) == 4
+    np.testing.assert_allclose(float(m_seq["loss"]), float(m_multi["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s_seq.params)),
+                    jax.tree.leaves(jax.device_get(s_multi.params))):
+        np.testing.assert_allclose(a, b, atol=1e-6)
