@@ -78,7 +78,10 @@ class TrainSpec:
     ckpt_keep: int = 3
     seed: int = 0
     remat_encoder: bool = False          # jax.checkpoint on per-bar encoder
-    use_pallas_loss: bool = True         # fused Pallas ELBO kernel when on TPU
+    # Pallas loss kernel in the TRAIN step. Default off: the custom VJP is
+    # a fusion barrier and XLA's fused autodiff wins end-to-end (see
+    # ops/fused_elbo.py perf note); the kernel still serves grad-free paths.
+    use_pallas_loss: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

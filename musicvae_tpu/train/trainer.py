@@ -148,6 +148,11 @@ def _train_step_body(cfg: Config, model, opt,
         updates, new_opt = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        # in-band failure detection (SURVEY §5.3): surfaced in logs so a
+        # diverged run is caught at the next log boundary; full NaN
+        # debugging via utils.debug.debug_mode(nans=True).
+        metrics["nonfinite"] = 1.0 - jnp.isfinite(metrics["loss"]).astype(
+            jnp.float32)
         new_state = state.replace(params=new_params, opt_state=new_opt,
                                   step=state.step + 1, rng=next_rng)
         return new_state, metrics

@@ -36,6 +36,10 @@ def make_eval_fn(cfg, model):
 
     mask = pitch_mask(cfg.midi)
 
+    # grad-free path: the Pallas forward kernel is strictly faster here
+    # (ops/fused_elbo.py perf note)
+    use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
     def eval_fn(params, batch, key):
         kw = {}
@@ -44,7 +48,8 @@ def make_eval_fn(cfg, model):
         logits, latents = model.apply({"params": params}, batch["x"], **kw,
                                       rngs={"latent": key})
         _, m = elbo_from_outputs(cfg, logits, batch["x"], latents,
-                                 jnp.asarray(cfg.train.beta_max))
+                                 jnp.asarray(cfg.train.beta_max),
+                                 use_pallas=use_pallas)
         recon_bin = binarize_logits(logits, cfg.midi.binarize_threshold,
                                     mask)
         m.update(recon_prf(recon_bin, batch["x"], mask))
