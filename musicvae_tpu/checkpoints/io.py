@@ -58,6 +58,17 @@ def save(manager: ocp.CheckpointManager, state, cfg: config_lib.Config,
         manager.wait_until_finished()
 
 
+def restore_config(manager: ocp.CheckpointManager,
+                   step: Optional[int] = None) -> config_lib.Config:
+    """Read only the Config stored in a checkpoint (cheap: JSON item)."""
+    step = step if step is not None else manager.latest_step()
+    if step is None:
+        raise FileNotFoundError("no checkpoint found")
+    restored = manager.restore(
+        step, args=ocp.args.Composite(config=ocp.args.JsonRestore()))
+    return config_from_json(json.dumps(restored["config"]))
+
+
 def restore(manager: ocp.CheckpointManager, abstract_state,
             step: Optional[int] = None) -> Tuple[Any, config_lib.Config]:
     """Restore (state, config). abstract_state: a pytree of ShapeDtypeStructs

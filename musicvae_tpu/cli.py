@@ -60,6 +60,12 @@ def cmd_train(args) -> int:
                                                     num_steps=args.steps))
     if args.data and os.path.exists(args.data):
         ds = PianoRollDataset.load_npy(args.data)
+        if ds.windows.shape[1] != cfg.model.num_bars:
+            print(f"error: {args.data} has {ds.windows.shape[1]}-bar windows "
+                  f"but config {cfg.name!r} trains on "
+                  f"{cfg.model.num_bars}-bar windows; re-run preprocess "
+                  f"with --config {cfg.name}", file=sys.stderr)
+            return 2
     else:
         ds = PianoRollDataset.from_corpus(
             synth_corpus(64, n_bars=32, seed=cfg.train.seed),
@@ -91,14 +97,16 @@ def cmd_eval(args) -> int:
     from musicvae_tpu.train import create_state
     from musicvae_tpu.utils.metrics import make_eval_fn
 
-    cfg = get_config(args.config)
-    model, state = create_state(cfg)
     manager = checkpoints.make_manager(args.ckpt_dir)
     if manager.latest_step() is None:
         raise FileNotFoundError(f"no checkpoint in {args.ckpt_dir}")
-    state, cfg = checkpoints.restore(manager, state)
-    from musicvae_tpu.models import build_model
-    model = build_model(cfg)
+    # the checkpoint knows its own config — the flag only needs to match it
+    cfg = checkpoints.restore_config(manager)
+    if args.config != cfg.name:
+        print(f"note: checkpoint was trained with config {cfg.name!r}; "
+              f"using it", file=sys.stderr)
+    model, state = create_state(cfg)
+    state, _ = checkpoints.restore(manager, state)
     ds = PianoRollDataset.load_npy(args.data)
     eval_fn = make_eval_fn(cfg, model)
     b = cfg.train.batch_size
@@ -124,19 +132,20 @@ def cmd_generate(args) -> int:
     from musicvae_tpu.generate import bars_to_midi, make_generate_fn
     from musicvae_tpu.train import create_state
 
-    cfg = get_config(args.config)
-    cfg = cfg.replace(gen=GenSpec(num_bars=args.bars,
-                                  num_samples=args.samples,
-                                  interpolate=args.interpolate,
-                                  temperature=args.temperature))
-    model, state = create_state(cfg)
+    gen = GenSpec(num_bars=args.bars, num_samples=args.samples,
+                  interpolate=args.interpolate,
+                  temperature=args.temperature)
     manager = checkpoints.make_manager(args.ckpt_dir)
     if manager.latest_step() is not None:
-        from musicvae_tpu.models import build_model
-        state, restored_cfg = checkpoints.restore(manager, state)
-        cfg = restored_cfg.replace(gen=cfg.gen)
-        model = build_model(cfg)
+        cfg = checkpoints.restore_config(manager).replace(gen=gen)
+        if args.config != cfg.name:
+            print(f"note: checkpoint was trained with config {cfg.name!r}; "
+                  f"using it", file=sys.stderr)
+        model, state = create_state(cfg)
+        state, _ = checkpoints.restore(manager, state)
     else:
+        cfg = get_config(args.config).replace(gen=gen)
+        model, state = create_state(cfg)
         print("warning: no checkpoint found, generating from random init",
               file=sys.stderr)
     gen = make_generate_fn(cfg, model)

@@ -178,6 +178,11 @@ def make_train_step_indexed(cfg: Config, model, opt=None,
 
     def step(state: TrainState, data, idx):
         batch = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), data)
+        # binary rolls are cached in HBM as uint8 (4x smaller); the cast to
+        # f32 happens on the gathered batch only
+        batch = jax.tree.map(
+            lambda a: a.astype(jnp.float32) if a.dtype == jnp.uint8 else a,
+            batch)
         return single(state, batch)
 
     return jax.jit(step, donate_argnums=(0,))
@@ -225,7 +230,7 @@ def train(cfg: Config,
 
     resident = hasattr(data, "windows")
     if resident:
-        arrays = {"x": data.windows}
+        arrays = {"x": data.windows.astype(np.uint8)}  # binary rolls
         if cfg.model.kind == "cond":
             arrays["chord"] = data.chords
             arrays["key_sig"] = data.keys
