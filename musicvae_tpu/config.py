@@ -12,7 +12,7 @@ All configs are hashable frozen dataclasses so they can be closed over by
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,7 +12,6 @@ from typing import List, Tuple
 
 import numpy as np
 
-from musicvae_tpu.config import MidiSpec
 from musicvae_tpu.midi import smf
 
 MAJOR = np.array([0, 2, 4, 5, 7, 9, 11])

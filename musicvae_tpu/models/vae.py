@@ -28,7 +28,7 @@ framework's own TPU-first choices (models/layers.py docstring).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ scoring), where it is strictly faster.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -14,20 +14,16 @@ ICI (SURVEY §2.2). The identical code runs on 1 chip (1x1 mesh).
 
 from __future__ import annotations
 
-import functools
-import time
-from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from jax.sharding import NamedSharding, PartitionSpec as P
-
 from musicvae_tpu.config import Config
 from musicvae_tpu.midi.tensorize import pitch_mask
-from musicvae_tpu.models.vae import build_model, init_params
+from musicvae_tpu.models.vae import init_params
 from musicvae_tpu.ops import losses
 from musicvae_tpu.parallel import mesh as pmesh
 
