@@ -60,8 +60,8 @@ def cmd_train(args) -> int:
                                                     num_steps=args.steps))
     if args.data and os.path.exists(args.data):
         ds = PianoRollDataset.load_npy(args.data)
-        if ds.windows.shape[1] != cfg.model.num_bars:
-            print(f"error: {args.data} has {ds.windows.shape[1]}-bar windows "
+        if ds.num_bars != cfg.model.num_bars:
+            print(f"error: {args.data} has {ds.num_bars}-bar windows "
                   f"but config {cfg.name!r} trains on "
                   f"{cfg.model.num_bars}-bar windows; re-run preprocess "
                   f"with --config {cfg.name}", file=sys.stderr)

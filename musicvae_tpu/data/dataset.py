@@ -2,13 +2,17 @@
 
 The reference wraps pre-tensorized rolls (likely an .npy cache) in a torch
 Dataset/DataLoader serving 1/4/16-bar windows plus prev-bar context
-[SURVEY §2.1 #3, RECON]. Rebuild: tensorize once (jit-able stage), cache as
-one contiguous numpy array of bar windows, and serve batches as numpy — the
-device transfer and sharding happen in the trainer (parallel.shard_batch).
+[SURVEY §2.1 #3, RECON]. Rebuild: bars are stored ONCE as a contiguous
+uint8 array plus int32 window-start indices — windows are never
+materialized (a window is ``bars[start : start+num_bars]``), which keeps
+the cache 4× smaller than explicit 4-bar windows and avoids giant host
+copies (measured pathological on 1-core VMs). The trainer uploads the bar
+array to HBM and gathers whole batches of windows on device
+(train.make_train_step_indexed); ``batch()`` assembles small host batches
+for eval/tests.
 
-Windows are every contiguous ``num_bars`` run inside a piece; prev-bar
-context comes free since training decode teacher-forces on the in-window
-previous bar (models/vae.py).
+Prev-bar context comes free since training decode teacher-forces on the
+in-window previous bar (models/vae.py).
 """
 
 from __future__ import annotations
@@ -23,14 +27,16 @@ from musicvae_tpu.midi import tensorize
 
 
 class PianoRollDataset:
-    def __init__(self, windows: np.ndarray, chords: np.ndarray,
-                 keys: np.ndarray):
-        """windows: [N, num_bars, T, P] f32; chords: [N, num_bars] i32;
-        keys: [N] i32."""
-        assert windows.ndim == 4
-        self.windows = windows
-        self.chords = chords
-        self.keys = keys
+    def __init__(self, bars: np.ndarray, starts: np.ndarray, num_bars: int,
+                 chords: np.ndarray, keys: np.ndarray):
+        """bars: [T,96,128] uint8 (all pieces concatenated); starts: [N]
+        int32 window starts into ``bars``; chords/keys: [N] int32 labels."""
+        assert bars.ndim == 3 and bars.dtype == np.uint8
+        self.bars = bars
+        self.starts = np.asarray(starts, np.int32)
+        self.num_bars = int(num_bars)
+        self.chords = np.asarray(chords, np.int32)
+        self.keys = np.asarray(keys, np.int32)
 
     # -- construction --------------------------------------------------------
 
@@ -38,55 +44,64 @@ class PianoRollDataset:
     def from_corpus(cls, pieces: Sequence[Tuple[bytes, int, int]],
                     spec: MidiSpec, num_bars: int) -> "PianoRollDataset":
         """pieces: (smf_bytes, chord_class, key_class) triples."""
-        all_bars = tensorize.corpus_to_bars([p[0] for p in pieces], spec)
-        xs: List[np.ndarray] = []
-        cs: List[np.ndarray] = []
-        ks: List[int] = []
+        all_bars = tensorize.corpus_to_bars([p[0] for p in pieces], spec,
+                                            as_uint8=True)
+        starts: List[int] = []
+        chords: List[int] = []
+        keys: List[int] = []
+        offset = 0
         for bars, (_, chord, key) in zip(all_bars, pieces):
             n = bars.shape[0]
-            for start in range(0, n - num_bars + 1):
-                xs.append(bars[start:start + num_bars])
-                cs.append(np.full((num_bars,), chord, np.int32))
-                ks.append(key)
-        if not xs:
+            for s in range(0, n - num_bars + 1):
+                starts.append(offset + s)
+                chords.append(chord)
+                keys.append(key)
+            offset += n
+        if not starts:
             raise ValueError("corpus produced no windows "
                              f"(need pieces with >= {num_bars} bars)")
-        return cls(np.stack(xs).astype(np.float32),
-                   np.stack(cs), np.asarray(ks, np.int32))
+        return cls(np.concatenate(all_bars, axis=0), np.asarray(starts),
+                   num_bars, np.asarray(chords), np.asarray(keys))
 
     @classmethod
     def load_npy(cls, path: str) -> "PianoRollDataset":
         with np.load(path) as z:
-            return cls(z["windows"], z["chords"], z["keys"])
+            return cls(z["bars"], z["starts"], int(z["num_bars"]),
+                       z["chords"], z["keys"])
 
     def save_npy(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez_compressed(path, windows=self.windows, chords=self.chords,
+        np.savez_compressed(path, bars=self.bars, starts=self.starts,
+                            num_bars=self.num_bars, chords=self.chords,
                             keys=self.keys)
 
     # -- serving -------------------------------------------------------------
 
     def __len__(self) -> int:
-        return self.windows.shape[0]
+        return self.starts.shape[0]
+
+    def window_indices(self, idx: np.ndarray) -> np.ndarray:
+        """[B] window ids → [B, num_bars] bar indices into ``bars``."""
+        return (self.starts[idx][:, None]
+                + np.arange(self.num_bars, dtype=np.int32)[None, :])
 
     def batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        return {"x": self.windows[idx], "chord": self.chords[idx],
+        """Small host-side batch (eval/tests); training gathers on device."""
+        x = self.bars[self.window_indices(idx)].astype(np.float32)
+        return {"x": x,
+                "chord": np.repeat(self.chords[idx][:, None], self.num_bars,
+                                   axis=1),
                 "key_sig": self.keys[idx]}
 
     def iterator(self, batch_size: int, seed: int = 0,
                  drop_remainder: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite shuffled epochs; indices resampled per epoch."""
+        """Infinite shuffled epochs of host batches (streaming fallback)."""
         rng = np.random.default_rng(seed)
         n = len(self)
-        if n < batch_size:
-            # tile small datasets up to one batch (tiny tests / overfit runs)
-            reps = -(-batch_size // n)
-            ds = PianoRollDataset(np.tile(self.windows, (reps, 1, 1, 1)),
-                                  np.tile(self.chords, (reps, 1)),
-                                  np.tile(self.keys, reps))
-            yield from ds.iterator(batch_size, seed, drop_remainder)
-            return
         while True:
+            if n < batch_size:
+                yield self.batch(rng.integers(0, n, size=batch_size))
+                continue
             perm = rng.permutation(n)
             for i in range(0, n - batch_size + 1, batch_size):
                 yield self.batch(perm[i:i + batch_size])

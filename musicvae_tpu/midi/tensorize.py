@@ -156,30 +156,37 @@ def events_to_roll_np(events: np.ndarray, total_steps: int,
 
 
 def corpus_to_bars(datas: Sequence[bytes], spec: MidiSpec,
-                   max_events: int = 4096) -> list:
-    """Corpus tensorization, all host-side: native C++ parse+quantize when
-    built (pure-Python fallback), numpy rasterization. Bit-identical to the
-    per-piece jax path (tested) with zero device round-trips.
+                   max_events: int = 4096, as_uint8: bool = False) -> list:
+    """Corpus tensorization, all host-side: one multithreaded C++ pass when
+    the native library is built (pure-Python + numpy fallback).
+    Bit-identical to the per-piece jax path (tested) with zero device
+    round-trips.
 
-    Returns a list of [n_bars_i, steps_per_bar, 128] float32 arrays.
+    Returns a list of [n_bars_i, steps_per_bar, 128] arrays — float32 by
+    default, uint8 with ``as_uint8`` (the dataset cache format; the f32
+    cast happens per batch / on device).
     """
     from musicvae_tpu import native
 
+    dtype = np.uint8 if as_uint8 else np.float32
+    if native.available():
+        try:
+            rolls = native.tensorize_corpus(
+                list(datas), spec.steps_per_quarter, spec.steps_per_bar,
+                max_notes=max_events)
+        except ValueError as e:
+            raise smf.SMFError(str(e)) from None
+        return [(r if as_uint8 else r.astype(np.float32)).reshape(
+                    -1, spec.steps_per_bar, spec.num_pitches)
+                for r in rolls]
+
     out = []
     for data in datas:
-        if native.available():
-            try:
-                notes, tpq, _ = native.parse_smf(data, max_notes=max_events)
-                events, total = native.quantize_events(
-                    notes, tpq, spec.steps_per_quarter, spec.steps_per_bar,
-                    max_events)
-            except ValueError as e:
-                raise smf.SMFError(str(e)) from None
-        else:
-            events, total = notes_to_events(smf.parse_smf(data), spec,
-                                            max_events)
+        events, total = notes_to_events(smf.parse_smf(data), spec,
+                                        max_events)
         roll = events_to_roll_np(events, total, spec.num_pitches)
-        out.append(roll.reshape(-1, spec.steps_per_bar, spec.num_pitches))
+        out.append(roll.astype(dtype).reshape(-1, spec.steps_per_bar,
+                                              spec.num_pitches))
     return out
 
 

@@ -71,6 +71,18 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ]
+        lib.mvae_corpus_totals.restype = ctypes.c_int32
+        lib.mvae_corpus_totals.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.mvae_corpus_rasterize.restype = ctypes.c_int32
+        lib.mvae_corpus_rasterize.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -98,6 +110,46 @@ def parse_smf(data: bytes, max_notes: int = 65536
     if n < 0:
         raise ValueError(f"native SMF parse failed: {_ERRORS.get(n, n)}")
     return notes[:n].copy(), tpq.value, tempo.value
+
+
+def tensorize_corpus(datas, spq: int, steps_per_bar: int,
+                     max_notes: int = 65536,
+                     num_threads: int = 0) -> list:
+    """Whole corpus → list of binary uint8 rolls [total_steps_i, 128].
+
+    One multithreaded native pass (parse + quantize + rasterize per
+    SEMANTICS.md §1–§4). num_threads=0 uses the host CPU count.
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable; use midi.tensorize")
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    n = len(datas)
+    if n == 0:
+        return []
+    blob = b"".join(datas)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in datas], out=offsets[1:])
+    totals = np.zeros(n, dtype=np.int64)
+    off_p = offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    rc = lib.mvae_corpus_totals(
+        blob, off_p, n, spq, steps_per_bar, max_notes, num_threads,
+        totals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc < 0:
+        raise ValueError(f"native corpus parse failed: {_ERRORS.get(rc, rc)}")
+    roll_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(totals, out=roll_offsets[1:])
+    rolls = np.zeros((int(roll_offsets[-1]), 128), dtype=np.uint8)
+    rc = lib.mvae_corpus_rasterize(
+        blob, off_p, n, spq, steps_per_bar, max_notes, num_threads,
+        roll_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rolls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc < 0:
+        raise ValueError(
+            f"native corpus rasterize failed: {_ERRORS.get(rc, rc)}")
+    return [rolls[int(roll_offsets[i]):int(roll_offsets[i + 1])]
+            for i in range(n)]
 
 
 def quantize_events(notes: np.ndarray, tpq: int, spq: int,

@@ -16,6 +16,7 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <functional>
 
 namespace {
 
@@ -196,6 +197,126 @@ int32_t mvae_quantize_events(const int32_t* notes /* [n*4] */, int32_t n,
   int64_t bars = (max_off + steps_per_bar - 1) / steps_per_bar;
   if (bars < 1) bars = 1;
   return static_cast<int32_t>(bars * steps_per_bar);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Whole-corpus tensorization: parse + quantize + rasterize, multithreaded.
+// The production data-loader path (musicvae_tpu/native/__init__.py
+// tensorize_corpus): one native call turns a packed blob of SMF files into
+// binary uint8 rolls, bar-padded per SEMANTICS.md §2–§4. Two-phase API so
+// the caller allocates exact-size output:
+//   phase 1: mvae_corpus_totals   → bar-padded steps per file
+//   phase 2: mvae_corpus_rasterize → rolls written at caller offsets
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+
+namespace {
+
+// Re-parse one file and rasterize into out (uint8 [total_steps, 128],
+// caller-zeroed). Returns <0 on error, else 0.
+int32_t rasterize_one(const uint8_t* data, int64_t len, int32_t spq,
+                      int32_t steps_per_bar, int32_t max_notes,
+                      uint8_t* out, int64_t total_steps) {
+  std::vector<int32_t> notes(static_cast<size_t>(max_notes) * 4);
+  int32_t tpq = 0, tempo = 0;
+  int32_t n = mvae_parse_smf(data, len, notes.data(), max_notes,
+                             &tpq, &tempo);
+  if (n < 0) return n;
+  for (int32_t i = 0; i < n; ++i) {
+    int64_t s = (2LL * notes[i * 4 + 0] * spq + tpq) / (2LL * tpq);
+    int64_t e = (2LL * notes[i * 4 + 1] * spq + tpq) / (2LL * tpq);
+    if (e < s + 1) e = s + 1;
+    if (s < 0) s = 0;
+    if (e > total_steps) e = total_steps;
+    int32_t pitch = notes[i * 4 + 2];
+    for (int64_t t = s; t < e; ++t) out[t * 128 + pitch] = 1;
+  }
+  return 0;
+}
+
+void parallel_for(int32_t n, int32_t num_threads,
+                  const std::function<void(int32_t)>& fn) {
+  if (num_threads <= 1 || n <= 1) {
+    for (int32_t i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<int32_t> next{0};
+  auto worker = [&] {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) return;
+      fn(i);
+    }
+  };
+  std::vector<std::thread> threads;
+  int32_t k = std::min(num_threads, n);
+  threads.reserve(k);
+  for (int32_t i = 0; i < k; ++i) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Phase 1: bar-padded total steps per file (>=1 bar each). Returns 0 or the
+// first error code encountered (negative, see mvae_parse_smf).
+int32_t mvae_corpus_totals(const uint8_t* blob, const int64_t* offsets,
+                           int32_t n_files, int32_t spq,
+                           int32_t steps_per_bar, int32_t max_notes,
+                           int32_t num_threads, int64_t* totals_out) {
+  std::atomic<int32_t> err{0};
+  parallel_for(n_files, num_threads, [&](int32_t f) {
+    std::vector<int32_t> notes(static_cast<size_t>(max_notes) * 4);
+    int32_t tpq = 0, tempo = 0;
+    int32_t n = mvae_parse_smf(blob + offsets[f],
+                               offsets[f + 1] - offsets[f],
+                               notes.data(), max_notes, &tpq, &tempo);
+    if (n < 0) {
+      int32_t expected = 0;
+      err.compare_exchange_strong(expected, n);
+      totals_out[f] = 0;
+      return;
+    }
+    int64_t max_off = 0;
+    for (int32_t i = 0; i < n; ++i) {
+      int64_t s = (2LL * notes[i * 4 + 0] * spq + tpq) / (2LL * tpq);
+      int64_t e = (2LL * notes[i * 4 + 1] * spq + tpq) / (2LL * tpq);
+      if (e < s + 1) e = s + 1;
+      if (e > max_off) max_off = e;
+    }
+    int64_t bars = (max_off + steps_per_bar - 1) / steps_per_bar;
+    if (bars < 1) bars = 1;
+    totals_out[f] = bars * steps_per_bar;
+  });
+  return err.load();
+}
+
+// Phase 2: rasterize each file into rolls_out (uint8, caller-zeroed) at
+// roll_offsets[f] * 128. Returns 0 or the first error code.
+int32_t mvae_corpus_rasterize(const uint8_t* blob, const int64_t* offsets,
+                              int32_t n_files, int32_t spq,
+                              int32_t steps_per_bar, int32_t max_notes,
+                              int32_t num_threads,
+                              const int64_t* roll_offsets,
+                              uint8_t* rolls_out) {
+  std::atomic<int32_t> err{0};
+  parallel_for(n_files, num_threads, [&](int32_t f) {
+    int64_t total = roll_offsets[f + 1] - roll_offsets[f];
+    int32_t rc = rasterize_one(blob + offsets[f],
+                               offsets[f + 1] - offsets[f],
+                               spq, steps_per_bar, max_notes,
+                               rolls_out + roll_offsets[f] * 128, total);
+    if (rc < 0) {
+      int32_t expected = 0;
+      err.compare_exchange_strong(expected, rc);
+    }
+  });
+  return err.load();
 }
 
 }  // extern "C"

@@ -14,8 +14,10 @@ def test_preprocess_writes_cache(tmp_path, capsys):
                "--synthetic-pieces", "3", "--out", out])
     assert rc == 0
     with np.load(out) as z:
-        assert z["windows"].shape[1:] == (1, 96, 128)
-        assert z["windows"].shape[0] > 0
+        assert z["bars"].shape[1:] == (96, 128)
+        assert z["bars"].dtype == np.uint8
+        assert int(z["num_bars"]) == 1
+        assert z["starts"].shape[0] > 0
 
 
 def test_unknown_config_clean_error(capsys):

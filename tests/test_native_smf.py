@@ -84,3 +84,29 @@ def test_native_roll_end_to_end():
     roll_py = np.asarray(
         tensorize.midi_bytes_to_bars(data, SPEC)).reshape(-1, 128)
     np.testing.assert_array_equal(roll_native, roll_py)
+
+
+@pytest.mark.parametrize("threads", [1, 4])
+def test_corpus_tensorize_native_vs_python(threads):
+    """Multithreaded C++ whole-corpus tensorizer ≡ pure-Python path."""
+    from musicvae_tpu.data.synthetic import synth_corpus
+    from musicvae_tpu.midi.tensorize import (events_to_roll_np,
+                                             notes_to_events)
+
+    datas = [p[0] for p in synth_corpus(6, n_bars=5, seed=9)]
+    # mix in edge cases: empty file, dense random soup
+    datas.append(smf.write_smf([], 480))
+    datas.append(smf.write_smf(_random_notes(3, 400, 960), 960))
+
+    native_rolls = native.tensorize_corpus(datas, SPEC.steps_per_quarter,
+                                           SPEC.steps_per_bar,
+                                           num_threads=threads)
+    for data, nat in zip(datas, native_rolls):
+        events, total = notes_to_events(smf.parse_smf(data), SPEC, 4096)
+        py = events_to_roll_np(events, total)
+        np.testing.assert_array_equal(nat.astype(np.float32), py)
+
+
+def test_corpus_tensorize_error_propagates():
+    with pytest.raises(ValueError):
+        native.tensorize_corpus([b"not midi"], 24, 96)
