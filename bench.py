@@ -36,34 +36,40 @@ def bench_tpu_train(cfg):
     import jax.numpy as jnp
     import numpy as np
     from musicvae_tpu.parallel import make_mesh, replicated
-    from musicvae_tpu.train import create_state, make_train_step_indexed
+    from musicvae_tpu.train import (create_state,
+                                    make_train_step_indexed_multi)
 
+    K = 50   # steps per dispatch, as the production train loop runs it
     mesh = make_mesh(cfg.mesh)
     model, state = create_state(cfg)
     state = jax.device_put(state, replicated(mesh))
-    step_fn = make_train_step_indexed(cfg, model)
+    step_fn = make_train_step_indexed_multi(cfg, model, K)
 
     b = cfg.train.batch_size
-    n_windows = 1024
-    data = {"x": (jax.random.uniform(
-        jax.random.key(0), (n_windows, cfg.model.num_bars, 96, 128)) < 0.08
-        ).astype(jnp.float32)}
+    n_bars_total = 4096
+    n_windows = n_bars_total - cfg.model.num_bars + 1
+    data = {
+        "bars": (jax.random.uniform(
+            jax.random.key(0), (n_bars_total, 96, 128)) < 0.08
+            ).astype(jnp.uint8),
+        "starts": jnp.arange(n_windows, dtype=jnp.int32),
+    }
     data = jax.device_put(data, replicated(mesh))
     rng = np.random.default_rng(0)
-    idxs = rng.integers(0, n_windows, size=(WARMUP + TRAIN_STEPS, b)
-                        ).astype(np.int32)
+    n_chunks = TRAIN_STEPS // K
+    idxs = rng.integers(0, n_windows,
+                        size=(1 + n_chunks, K, b)).astype(np.int32)
 
     # NB: under the axon tunnel jax.block_until_ready can return before the
     # computation finishes; a host transfer (float()) is the reliable fence.
-    for i in range(WARMUP):
-        state, metrics = step_fn(state, data, idxs[i])
+    state, metrics = step_fn(state, data, idxs[0])       # compile + warmup
     float(metrics["loss"])
     t0 = time.perf_counter()
-    for i in range(TRAIN_STEPS):
-        state, metrics = step_fn(state, data, idxs[WARMUP + i])
+    for i in range(n_chunks):
+        state, metrics = step_fn(state, data, idxs[1 + i])
     float(metrics["loss"])
     dt = time.perf_counter() - t0
-    return TRAIN_STEPS / dt
+    return n_chunks * K / dt
 
 
 def bench_tpu_generate(cfg):

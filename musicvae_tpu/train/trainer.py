@@ -14,6 +14,7 @@ ICI (SURVEY §2.2). The identical code runs on 1 chip (1x1 mesh).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -174,9 +175,19 @@ def make_train_step_indexed(cfg: Config, model, opt=None,
     """
     opt = opt or make_optimizer(cfg)
     single = _train_step_body(cfg, model, opt, use_pallas)
-    nb = cfg.model.num_bars
+    gather = _make_window_gather(cfg)
 
     def step(state: TrainState, data, idx):
+        return single(state, gather(data, idx))
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def _make_window_gather(cfg: Config) -> Callable:
+    """(device data, [B] window ids) → batch dict, all on device."""
+    nb = cfg.model.num_bars
+
+    def gather(data, idx):
         starts = jnp.take(data["starts"], idx)
         bar_idx = starts[:, None] + jnp.arange(nb, dtype=starts.dtype)
         batch = {"x": jnp.take(data["bars"], bar_idx,
@@ -185,9 +196,30 @@ def make_train_step_indexed(cfg: Config, model, opt=None,
             batch["chord"] = jnp.repeat(
                 jnp.take(data["chords"], idx)[:, None], nb, axis=1)
             batch["key_sig"] = jnp.take(data["keys"], idx)
-        return single(state, batch)
+        return batch
 
-    return jax.jit(step, donate_argnums=(0,))
+    return gather
+
+
+def make_train_step_indexed_multi(cfg: Config, model, k: int, opt=None,
+                                  use_pallas: Optional[bool] = None
+                                  ) -> Callable:
+    """K device-resident indexed steps per dispatch: (state, data,
+    idxs[K,B]) → (state, last-step metrics). One host→device round trip
+    per K steps — the production training mode (host-link latency and
+    jitter amortize away; the scan body is exactly the single-step update,
+    equivalence tested in tests/test_train_e2e.py)."""
+    opt = opt or make_optimizer(cfg)
+    single = _train_step_body(cfg, model, opt, use_pallas)
+    gather = _make_window_gather(cfg)
+
+    def multi(state: TrainState, data, idxs):
+        def body(carry, idx):
+            return single(carry, gather(data, idx))
+        state2, metrics = jax.lax.scan(body, state, idxs)
+        return state2, jax.tree.map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_eval_step(cfg: Config, model) -> Callable:
@@ -237,7 +269,12 @@ def train(cfg: Config,
             arrays["chords"] = data.chords
             arrays["keys"] = data.keys
         data_dev = jax.device_put(arrays, pmesh.replicated(mesh))
-        step_fn = make_train_step_indexed(cfg, model)
+        # K steps per dispatch (host-link jitter amortizes); K must divide
+        # the log/ckpt cadence so boundaries land exactly.
+        k = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
+        while k > 1 and (k > 50 or num_steps % k):
+            k = max(d for d in range(1, k) if k % d == 0)
+        multi_fn = make_train_step_indexed_multi(cfg, model, k)
         rng = np.random.default_rng(cfg.train.seed)
         n = len(data)
 
@@ -255,13 +292,15 @@ def train(cfg: Config,
 
     metrics = {}
     step = 0  # host-side mirror of state.step: no per-step device sync
-    for _ in range(num_steps):
+    while step < num_steps:
         if resident:
-            state, metrics = step_fn(state, data_dev, next(idx_iter))
+            idxs = np.stack([next(idx_iter) for _ in range(k)])
+            state, metrics = multi_fn(state, data_dev, idxs)
+            step += k
         else:
             batch = pmesh.shard_batch(next(data), mesh)
             state, metrics = step_fn(state, batch)
-        step += 1
+            step += 1
         if log_fn is not None and step % cfg.train.log_every == 0:
             log_fn(step, jax.device_get(metrics))
         if ckpt_manager is not None and step % cfg.train.ckpt_every == 0:
