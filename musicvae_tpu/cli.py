@@ -199,6 +199,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     args = parser.parse_args(argv)
     _enable_compile_cache()
+    from musicvae_tpu.parallel import initialize_from_env
+    initialize_from_env()   # multi-host no-op unless MVAE_* env is set
     try:
         return args.fn(args)
     except KeyError as e:
