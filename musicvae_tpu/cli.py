@@ -199,8 +199,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     args = parser.parse_args(argv)
     _enable_compile_cache()
-    from musicvae_tpu.parallel import initialize_from_env
-    initialize_from_env()   # multi-host no-op unless MVAE_* env is set
+    if args.cmd in ("train", "eval", "generate"):
+        # backend-using subcommands only: preprocess is host-side and must
+        # not block on a multi-host coordinator barrier
+        from musicvae_tpu.parallel import initialize_from_env
+        initialize_from_env()
     try:
         return args.fn(args)
     except KeyError as e:

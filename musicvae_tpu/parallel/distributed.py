@@ -3,12 +3,13 @@
 Within a slice, everything rides ICI via the ('data','model') mesh and XLA
 collectives — no hand-written comm backend. Across hosts (multi-host pods,
 DCN), JAX needs ``jax.distributed.initialize`` before any backend use; this
-module wraps it with env-based autodetection so the same CLI command works
-on 1 host or N (each host then sees its local chips and
-``jax.devices()``/``make_mesh`` span the full pod).
+module provides the launch wiring. NOTE: the training DATA path currently
+assumes all mesh devices are addressable (single-host, any number of local
+chips); feeding a mesh that spans hosts additionally needs
+process-local-array plumbing (jax.make_array_from_process_local_data) in
+the trainer — documented as future work, not claimed.
 
-Single-host runs (this build environment: one chip) skip initialization —
-calling it is a no-op there by design.
+Single-host runs (this build environment: one chip) skip initialization.
 """
 
 from __future__ import annotations
@@ -16,18 +17,29 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+_initialized = False
+
 
 def initialize_from_env(coordinator: Optional[str] = None,
                         num_processes: Optional[int] = None,
                         process_id: Optional[int] = None) -> bool:
-    """Initialize jax.distributed when a multi-host launch is detected.
+    """Initialize jax.distributed when a multi-host launch is configured.
 
-    Detection order: explicit args → MVAE_COORDINATOR/MVAE_NUM_PROCS/
-    MVAE_PROC_ID env → cloud-TPU autodetection (initialize() with no args,
-    which reads the TPU metadata when on a multi-host pod). Returns True if
-    distributed mode was initialized.
+    Sources, in precedence order:
+    1. explicit arguments;
+    2. MVAE_COORDINATOR + MVAE_NUM_PROCS + MVAE_PROC_ID env vars (all three
+       required together — a partial set raises ValueError rather than
+       silently training an independent single-host job);
+    3. MVAE_AUTO_DISTRIBUTED=1 → ``jax.distributed.initialize()`` with no
+       args (cloud-TPU metadata autodetection). This fallback is explicitly
+       opt-in via that variable, never automatic.
+
+    Idempotent: repeated calls after a successful initialization return
+    True without re-initializing. Returns False when nothing is configured.
     """
-    import jax
+    global _initialized
+    if _initialized:
+        return True
 
     coordinator = coordinator or os.environ.get("MVAE_COORDINATOR")
     num_processes = num_processes if num_processes is not None else (
@@ -37,12 +49,27 @@ def initialize_from_env(coordinator: Optional[str] = None,
         int(os.environ["MVAE_PROC_ID"])
         if "MVAE_PROC_ID" in os.environ else None)
 
-    if coordinator and num_processes and process_id is not None:
+    fields = {"MVAE_COORDINATOR": coordinator,
+              "MVAE_NUM_PROCS": num_processes,
+              "MVAE_PROC_ID": process_id}
+    present = {k for k, v in fields.items() if v is not None}
+    if present and present != set(fields):
+        missing = sorted(set(fields) - present)
+        raise ValueError(
+            "partial multi-host configuration: missing "
+            f"{', '.join(missing)} (all of MVAE_COORDINATOR, "
+            "MVAE_NUM_PROCS, MVAE_PROC_ID must be set together)")
+
+    import jax
+
+    if present:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
+        _initialized = True
         return True
     if os.environ.get("MVAE_AUTO_DISTRIBUTED") == "1":
         jax.distributed.initialize()   # cloud-TPU metadata autodetection
+        _initialized = True
         return True
     return False

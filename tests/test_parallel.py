@@ -129,3 +129,66 @@ def test_generation_under_dp_mesh():
     bars = gen(params, jax.random.key(0))
     assert bars.shape == (16, 8, 96, 128)
     assert set(np.unique(np.asarray(bars))) <= {0.0, 1.0}
+
+
+def test_initialize_from_env_parsing(monkeypatch):
+    """distributed.py env parsing: no-op, fail-fast partial config,
+    idempotence flag (never calls real jax.distributed.initialize)."""
+    from musicvae_tpu.parallel import distributed
+
+    for var in ("MVAE_COORDINATOR", "MVAE_NUM_PROCS", "MVAE_PROC_ID",
+                "MVAE_AUTO_DISTRIBUTED"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setattr(distributed, "_initialized", False)
+
+    # nothing configured -> False, no init
+    assert distributed.initialize_from_env() is False
+
+    # partial config -> ValueError naming the missing vars
+    monkeypatch.setenv("MVAE_COORDINATOR", "host0:1234")
+    monkeypatch.setenv("MVAE_NUM_PROCS", "4")
+    with pytest.raises(ValueError, match="MVAE_PROC_ID"):
+        distributed.initialize_from_env()
+
+    # full config -> calls initialize with parsed values (stubbed)
+    calls = {}
+
+    class FakeDist:
+        @staticmethod
+        def initialize(coordinator_address=None, num_processes=None,
+                       process_id=None):
+            calls.update(addr=coordinator_address, n=num_processes,
+                         pid=process_id)
+
+    monkeypatch.setenv("MVAE_PROC_ID", "0")
+    monkeypatch.setattr(jax, "distributed", FakeDist)
+    assert distributed.initialize_from_env() is True
+    assert calls == {"addr": "host0:1234", "n": 4, "pid": 0}
+
+    # idempotent: second call returns True without re-calling initialize
+    calls.clear()
+    assert distributed.initialize_from_env() is True
+    assert calls == {}
+    monkeypatch.setattr(distributed, "_initialized", False)
+
+
+def test_initialize_explicit_args_beat_env(monkeypatch):
+    from musicvae_tpu.parallel import distributed
+
+    monkeypatch.setattr(distributed, "_initialized", False)
+    monkeypatch.setenv("MVAE_COORDINATOR", "env:1")
+    monkeypatch.setenv("MVAE_NUM_PROCS", "8")
+    monkeypatch.setenv("MVAE_PROC_ID", "7")
+    calls = {}
+
+    class FakeDist:
+        @staticmethod
+        def initialize(coordinator_address=None, num_processes=None,
+                       process_id=None):
+            calls.update(addr=coordinator_address, n=num_processes,
+                         pid=process_id)
+
+    monkeypatch.setattr(jax, "distributed", FakeDist)
+    assert distributed.initialize_from_env("arg:2", 2, 1) is True
+    assert calls == {"addr": "arg:2", "n": 2, "pid": 1}
+    monkeypatch.setattr(distributed, "_initialized", False)
