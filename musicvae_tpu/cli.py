@@ -148,8 +148,11 @@ def cmd_generate(args) -> int:
         model, state = create_state(cfg)
         print("warning: no checkpoint found, generating from random init",
               file=sys.stderr)
-    gen = make_generate_fn(cfg, model)
-    bars = np.asarray(gen(state.params, jax.random.key(args.seed)))
+    from musicvae_tpu.parallel import make_mesh, replicated
+    mesh = make_mesh(cfg.mesh)
+    params = jax.device_put(state.params, replicated(mesh))
+    gen = make_generate_fn(cfg, model, mesh=mesh)
+    bars = np.asarray(gen(params, jax.random.key(args.seed)))
     os.makedirs(args.out_dir, exist_ok=True)
     for i in range(min(args.write_midis, bars.shape[0])):
         path = os.path.join(args.out_dir, f"sample_{i:04d}.mid")

@@ -33,16 +33,22 @@ def latent_path(key: jax.Array, cfg: Config, batch: int, num_bars: int,
                 ) -> Tuple[jax.Array, jax.Array]:
     """Per-bar latent path z[B, num_bars, z] and GRU reset mask [B, num_bars].
 
-    Pure function of the PRNG key — safe inside jit.
+    Granularity matches training: gru_seq/cond hold one z per phrase
+    (phrase = model.num_bars, the per-sequence posterior); hier models draw
+    an independent z per bar (the per-bar posterior's prior is N(0,I)).
+    For ``interpolate`` the path slerps z_a→z_b across phrases; a
+    single-phrase sweep uses the slerp midpoint (still a function of both
+    endpoints). Pure function of the PRNG key — safe inside jit.
     """
     z_dim = cfg.model.z_dim
-    phrase = max(1, cfg.model.num_bars)
+    phrase = 1 if cfg.model.kind == "hier" else max(1, cfg.model.num_bars)
     n_phrases = -(-num_bars // phrase)
     if interpolate:
         k_a, k_b = jax.random.split(key)
         z_a = jax.random.normal(k_a, (batch, z_dim)) * temperature
         z_b = jax.random.normal(k_b, (batch, z_dim)) * temperature
-        ts = jnp.linspace(0.0, 1.0, max(n_phrases, 2))[:n_phrases]
+        ts = (jnp.linspace(0.0, 1.0, n_phrases) if n_phrases > 1
+              else jnp.array([0.5]))
         # [n_phrases, B, z] → phrase-major path
         z_phrases = jax.vmap(lambda t: slerp(z_a, z_b, t))(ts)
     else:
@@ -51,34 +57,47 @@ def latent_path(key: jax.Array, cfg: Config, batch: int, num_bars: int,
     z_bars = jnp.repeat(z_phrases, phrase, axis=0)[:num_bars]    # [N,B,z]
     z_bars = jnp.swapaxes(z_bars, 0, 1)                          # [B,N,z]
     bar_idx = jnp.arange(num_bars)
-    reset = jnp.broadcast_to((bar_idx % phrase == 0).astype(jnp.float32),
+    # the seq-GRU state resets at phrase starts (model.num_bars cadence
+    # regardless of z granularity)
+    p = max(1, cfg.model.num_bars)
+    reset = jnp.broadcast_to((bar_idx % p == 0).astype(jnp.float32),
                              (batch, num_bars))
     return z_bars, reset
 
 
-def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None):
+def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
+                     mesh=None):
     """Jitted end-to-end sweep: (params, key, *cond) → binarized bars.
 
     Returns fn(params, key, seed_bar=None, chord=None, key_sig=None)
     → bars [num_samples, num_bars, T, P] float32 in {0,1}.
+
+    With ``mesh`` the sample axis is sharded over 'data' (the C5 1k-sample
+    sweep on a v5e-8 slice); without it the sweep runs single-device.
     """
     model = model or build_model(cfg)
     g = cfg.gen
     batch, num_bars = g.num_samples, g.num_bars
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from musicvae_tpu.parallel.mesh import DATA_AXIS
+        batch_spec = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
     @jax.jit
     def generate(params, key, seed_bar=None, chord=None, key_sig=None):
-        k_z, k_p = jax.random.split(key)
+        k_z, k_c, k_k, k_p = jax.random.split(key, 4)
         z_bars, reset = latent_path(k_z, cfg, batch, num_bars,
                                     g.interpolate, g.temperature)
+        if mesh is not None:
+            z_bars = jax.lax.with_sharding_constraint(z_bars, batch_spec)
         kw: Dict = {}
         if cfg.model.kind == "cond":
             if chord is None:
                 chord = jax.random.randint(
-                    k_p, (batch, num_bars), 0, cfg.model.cond_chord_classes)
+                    k_c, (batch, num_bars), 0, cfg.model.cond_chord_classes)
             if key_sig is None:
                 key_sig = jax.random.randint(
-                    k_p, (batch,), 0, cfg.model.cond_key_classes)
+                    k_k, (batch,), 0, cfg.model.cond_key_classes)
             kw = {"chord": chord, "key_sig": key_sig}
         z_phrase = None
         if cfg.model.kind == "hier":

@@ -27,7 +27,6 @@ framework's own TPU-first choices (models/layers.py docstring).
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -71,14 +70,11 @@ class BarDecoder(nn.Module):
     # -- helpers -------------------------------------------------------------
 
     def _binarize(self, logits: jax.Array) -> jax.Array:
-        """SEMANTICS.md §6: strict >, threshold in logit space, crop-masked."""
-        midi = self.midi
-        thr = midi.binarize_threshold
-        logit_t = math.log(thr) - math.log1p(-thr)
-        p = jnp.arange(midi.num_pitches)
-        pmask = ((p >= midi.pitch_lo) & (p < midi.pitch_hi)).astype(
-            jnp.float32)
-        return (logits > logit_t).astype(jnp.float32) * pmask
+        """SEMANTICS.md §6 via the one canonical implementation."""
+        from musicvae_tpu.midi.tensorize import pitch_mask
+        from musicvae_tpu.ops.binarize import binarize_logits
+        return binarize_logits(logits, self.midi.binarize_threshold,
+                               pitch_mask(self.midi))
 
     def _recur(self, h, hc, z, reset, gru_in, z_phrase):
         """Shared single-step recurrence (teacher scan AND gen step)."""

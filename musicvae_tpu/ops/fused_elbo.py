@@ -156,8 +156,19 @@ def _bce_bwd(res, g):
     )(n_rows, g_arr, l2, x2, m2)
     if pad:
         dl = dl[:m]
-    return dl.reshape(logits.shape).astype(logits.dtype), \
-        jnp.zeros_like(x), jnp.zeros_like(mask, dtype=jnp.float32)
+    # cotangents for targets and mask (cold path — jnp is fine): the
+    # per-cell term is (max(l,0) - l·x + log1p(e^-|l|))·mask, so
+    # d/dx = -l·mask and d/dmask = bce(l,x), reduced over broadcast axes.
+    mask_b = jnp.broadcast_to(mask.astype(jnp.float32), logits.shape)
+    dx = (-logits * mask_b * g).astype(x.dtype)
+    from musicvae_tpu.ops.losses import bce_with_logits
+    bce_g = bce_with_logits(logits, x) * g
+    dmask = jnp.sum(bce_g, axis=tuple(range(bce_g.ndim - mask.ndim)))
+    for axis, mdim in enumerate(mask.shape):
+        if mdim == 1:
+            dmask = jnp.sum(dmask, axis=axis, keepdims=True)
+    return dl.reshape(logits.shape).astype(logits.dtype), dx, \
+        dmask.astype(jnp.float32)
 
 
 masked_bce_sum_pallas.defvjp(lambda l, x, m: _bce_fwd(l, x, m),

@@ -223,7 +223,10 @@ def make_train_step_indexed_multi(cfg: Config, model, k: int, opt=None,
 
 
 def make_eval_step(cfg: Config, model) -> Callable:
-    """Deterministic eval: posterior mean (z = mu), beta = beta_max."""
+    """One-sample ELBO eval under a FIXED latent draw (key(0)): repeatable
+    across calls, but z = mu + eps*sigma for that one eps — not the
+    zero-noise posterior mean. The richer eval (plus precision/recall/F1)
+    is utils.metrics.make_eval_fn, which the CLI uses."""
 
     def eval_step(params, batch):
         kw = {}
@@ -255,9 +258,11 @@ def train(cfg: Config,
     Returns (model, final_state, last_metrics).
     """
     mesh = mesh or pmesh.make_mesh(cfg.mesh)
-    model, fresh = create_state(cfg)
     if state is None:
-        state = fresh
+        model, state = create_state(cfg)
+    else:
+        from musicvae_tpu.models.vae import build_model
+        model = build_model(cfg)   # resumed: don't re-init throwaway params
     state = jax.device_put(state, pmesh.replicated(mesh))
     num_steps = num_steps if num_steps is not None else cfg.train.num_steps
     b = cfg.train.batch_size
@@ -270,11 +275,17 @@ def train(cfg: Config,
             arrays["keys"] = data.keys
         data_dev = jax.device_put(arrays, pmesh.replicated(mesh))
         # K steps per dispatch (host-link jitter amortizes); K must divide
-        # the log/ckpt cadence so boundaries land exactly.
-        k = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
-        while k > 1 and (k > 50 or num_steps % k):
-            k = max(d for d in range(1, k) if k % d == 0)
+        # the log/ckpt cadence AND num_steps so boundaries land exactly —
+        # pick the largest such divisor of the gcd, capped at 50.
+        g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
+        k = max(d for d in range(1, min(g, 50) + 1)
+                if g % d == 0 and num_steps % d == 0)
         multi_fn = make_train_step_indexed_multi(cfg, model, k)
+        # DP: shard the window-id batch axis over 'data'; the gather then
+        # yields a batch sharded on 'data' and XLA psums the grads.
+        from jax.sharding import NamedSharding, PartitionSpec
+        idx_sharding = NamedSharding(mesh, PartitionSpec(None,
+                                                         pmesh.DATA_AXIS))
         rng = np.random.default_rng(cfg.train.seed)
         n = len(data)
 
@@ -295,6 +306,7 @@ def train(cfg: Config,
     while step < num_steps:
         if resident:
             idxs = np.stack([next(idx_iter) for _ in range(k)])
+            idxs = jax.device_put(idxs, idx_sharding)
             state, metrics = multi_fn(state, data_dev, idxs)
             step += k
         else:

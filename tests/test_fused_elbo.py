@@ -117,3 +117,12 @@ def test_recon_prf_metrics():
     mask = jnp.ones(4).at[0].set(1.0)
     m2 = recon_prf(r, x, jnp.array([1.0, 1.0, 0.0, 0.0]))
     assert float(m2["precision"]) == 0.5
+
+
+def test_bce_grads_wrt_targets_and_mask():
+    """custom VJP must match autodiff for ALL args, not just logits."""
+    logits, x, mask, *_ = _data(b=2, n=1)
+    for argnum in (1, 2):
+        g_p = jax.grad(masked_bce_sum_pallas, argnums=argnum)(logits, x, mask)
+        g_r = jax.grad(losses.masked_bce_sum, argnums=argnum)(logits, x, mask)
+        np.testing.assert_allclose(g_p, g_r, rtol=1e-5, atol=1e-5)

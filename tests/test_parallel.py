@@ -125,10 +125,36 @@ def test_generation_under_dp_mesh():
     mesh = make_mesh(MeshSpec(data=8))
     model, state = create_state(cfg)
     params = jax.device_put(state.params, replicated(mesh))
-    gen = make_generate_fn(cfg, model)
+    gen = make_generate_fn(cfg, model, mesh=mesh)
     bars = gen(params, jax.random.key(0))
     assert bars.shape == (16, 8, 96, 128)
     assert set(np.unique(np.asarray(bars))) <= {0.0, 1.0}
+    # the sample axis is actually sharded over 'data' (2 samples/device)
+    assert {s.data.shape[0] for s in bars.addressable_shards} == {2}
+
+
+def test_resident_training_shards_batch_over_data(tmp_path):
+    """The production (resident multi-step) path must actually data-
+    parallelize: same result as 1-device, and compute sharded (regression
+    for the replicated-idx bug)."""
+    from musicvae_tpu.data import PianoRollDataset, synth_corpus
+    from musicvae_tpu.train import train
+
+    cfg = tiny(C2_GRU_4BAR, mesh=MeshSpec(data=8))
+    import dataclasses as dc
+    cfg = cfg.replace(train=dc.replace(cfg.train, num_steps=4, log_every=2,
+                                       ckpt_every=1000))
+    ds = PianoRollDataset.from_corpus(synth_corpus(4, n_bars=8, seed=0),
+                                      cfg.midi, cfg.model.num_bars)
+    mesh8 = make_mesh(MeshSpec(data=8))
+    _, s8, m8 = train(cfg, ds, mesh=mesh8)
+    mesh1 = make_mesh(MeshSpec(data=1))
+    _, s1, m1 = train(cfg, ds, mesh=mesh1)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s1.params)),
+                    jax.tree.leaves(jax.device_get(s8.params))):
+        np.testing.assert_allclose(a, b, atol=1e-4)
 
 
 def test_initialize_from_env_parsing(monkeypatch):
