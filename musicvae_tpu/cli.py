@@ -54,10 +54,15 @@ def cmd_train(args) -> int:
     from musicvae_tpu.utils import MetricsLogger
 
     cfg = get_config(args.config)
-    if args.steps:
-        import dataclasses
-        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
-                                                    num_steps=args.steps))
+    import dataclasses
+    overrides = {k: v for k, v in (
+        ("num_steps", args.steps),
+        ("beta_schedule", args.beta_schedule),
+        ("beta_cycle_steps", args.beta_cycle_steps),
+        ("beta_warmup_steps", args.beta_warmup_steps),
+    ) if v is not None}
+    if overrides:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
     if args.data and os.path.exists(args.data):
         ds = PianoRollDataset.load_npy(args.data)
         if ds.num_bars != cfg.model.num_bars:
@@ -181,6 +186,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--beta-schedule", choices=["linear", "cyclical"],
+                   default=None, help="KL annealing mode (config default)")
+    p.add_argument("--beta-cycle-steps", type=int, default=None,
+                   help="cycle length for --beta-schedule cyclical")
+    p.add_argument("--beta-warmup-steps", type=int, default=None)
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="reconstruction metrics on a dataset")

@@ -42,3 +42,17 @@ def test_empty_glob_errors(tmp_path, capsys):
                "--out", str(tmp_path / "x.npz")])
     assert rc == 1
     assert "no MIDI files" in capsys.readouterr().err
+
+
+def test_train_beta_schedule_flags(tmp_path):
+    """--beta-schedule cyclical flows through train end to end (1 step on
+    a tiny synthetic cache; a bad cycle value would raise in
+    ops.losses.beta_schedule)."""
+    out = str(tmp_path / "d.npz")
+    assert main(["preprocess", "--config", "c2_gru_4bar",
+                 "--synthetic-pieces", "2", "--out", out]) == 0
+    assert main(["train", "--config", "c2_gru_4bar", "--data", out,
+                 "--steps", "1", "--beta-schedule", "cyclical",
+                 "--beta-cycle-steps", "50",
+                 "--ckpt-dir", str(tmp_path / "c"),
+                 "--log-dir", str(tmp_path / "l")]) == 0
