@@ -157,7 +157,16 @@ def cmd_generate(args) -> int:
     mesh = make_mesh(cfg.mesh)
     params = jax.device_put(state.params, replicated(mesh))
     gen = make_generate_fn(cfg, model, mesh=mesh)
-    bars = np.asarray(gen(params, jax.random.key(args.seed)))
+    kw = {}
+    if cfg.model.kind == "cond" and (args.chord is not None
+                                     or args.key is not None):
+        import jax.numpy as jnp
+        b, n = cfg.gen.num_samples, cfg.gen.num_bars
+        if args.chord is not None:
+            kw["chord"] = jnp.full((b, n), args.chord % 24, jnp.int32)
+        if args.key is not None:
+            kw["key_sig"] = jnp.full((b,), args.key % 24, jnp.int32)
+    bars = np.asarray(gen(params, jax.random.key(args.seed), **kw))
     os.makedirs(args.out_dir, exist_ok=True)
     for i in range(min(args.write_midis, bars.shape[0])):
         path = os.path.join(args.out_dir, f"sample_{i:04d}.mid")
@@ -205,6 +214,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--samples", type=int, default=4)
     p.add_argument("--interpolate", action="store_true")
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--chord", type=int, default=None,
+                   help="conditional models: chord class 0..23 "
+                        "(root*2 + minor), default random per sample")
+    p.add_argument("--key", type=int, default=None,
+                   help="conditional models: key class 0..23, "
+                        "default random per sample")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-dir", default="generated")
     p.add_argument("--write-midis", type=int, default=8)
