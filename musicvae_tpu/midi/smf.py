@@ -83,6 +83,8 @@ def parse_smf(data: bytes) -> MidiFile:
         if data[pos:pos + 4] != b"MTrk":
             raise SMFError("expected MTrk chunk")
         (tlen,) = struct.unpack(">I", data[pos + 4:pos + 8])
+        if pos + 8 + tlen > len(data):
+            raise SMFError("truncated event")  # declared length beyond EOF
         track = data[pos + 8:pos + 8 + tlen]
         pos += 8 + tlen
 
@@ -96,6 +98,8 @@ def parse_smf(data: bytes) -> MidiFile:
             delta, tpos = _read_varlen(track, tpos)
             tick += delta
             last_tick = tick
+            if tpos >= len(track):
+                raise SMFError("truncated event")
             status = track[tpos]
             if status & 0x80:
                 tpos += 1
@@ -111,6 +115,9 @@ def parse_smf(data: bytes) -> MidiFile:
                 if tpos + 2 > len(track):
                     raise SMFError("truncated note event")
                 pitch, vel = track[tpos], track[tpos + 1]
+                if pitch > 127:
+                    # a data byte with the high bit set is malformed SMF
+                    raise SMFError("invalid pitch data byte")
                 tpos += 2
                 is_on = kind == 0x90 and vel > 0
                 if is_on:
@@ -124,8 +131,12 @@ def parse_smf(data: bytes) -> MidiFile:
                         # zero-length in ticks: dropped here; quantization
                         # min-length (§2) only applies to tick-positive notes
             elif kind in (0xA0, 0xB0, 0xE0):  # 2-byte channel messages
+                if tpos + 2 > len(track):
+                    raise SMFError("truncated event")
                 tpos += 2
             elif kind in (0xC0, 0xD0):        # 1-byte channel messages
+                if tpos + 1 > len(track):
+                    raise SMFError("truncated event")
                 tpos += 1
             elif status == 0xFF:              # meta
                 if tpos >= len(track):
@@ -133,6 +144,8 @@ def parse_smf(data: bytes) -> MidiFile:
                 meta_type = track[tpos]
                 tpos += 1
                 mlen, tpos = _read_varlen(track, tpos)
+                if tpos + mlen > len(track):
+                    raise SMFError("truncated event")
                 payload = track[tpos:tpos + mlen]
                 tpos += mlen
                 if meta_type == 0x51 and mlen == 3 and tempo is None:
@@ -141,6 +154,8 @@ def parse_smf(data: bytes) -> MidiFile:
                     break
             elif status in (0xF0, 0xF7):      # sysex
                 slen, tpos = _read_varlen(track, tpos)
+                if tpos + slen > len(track):
+                    raise SMFError("truncated event")
                 tpos += slen
             else:
                 raise SMFError(f"unknown status byte 0x{status:02x}")

@@ -89,6 +89,11 @@ int32_t mvae_parse_smf(const uint8_t* data, int64_t len,
     uint32_t tlen = r.u32();
     size_t tend = r.pos + tlen;
     if (tend > r.n) return -3;
+    // bound all event reads to the declared track extent: an event that
+    // straddles tend is malformed (matches midi/smf.py, which parses a
+    // hard slice of exactly tlen bytes)
+    size_t file_end = r.n;
+    r.n = tend;
 
     int64_t tick = 0, last_tick = 0;
     uint8_t running = 0;
@@ -150,10 +155,14 @@ int32_t mvae_parse_smf(const uint8_t* data, int64_t len,
           notes.push_back({static_cast<int32_t>(start),
                            static_cast<int32_t>(last_tick),
                            pitch, v});
+    r.n = file_end;
     r.pos = tend;
   }
 
-  std::sort(notes.begin(), notes.end(), [](const Note& a, const Note& b) {
+  // stable: ties on (start, pitch, end) keep insertion order, matching the
+  // Python codec's stable list.sort (velocity can differ between ties)
+  std::stable_sort(notes.begin(), notes.end(),
+                   [](const Note& a, const Note& b) {
     if (a.start != b.start) return a.start < b.start;
     if (a.pitch != b.pitch) return a.pitch < b.pitch;
     return a.end < b.end;
