@@ -112,7 +112,21 @@ def cmd_eval(args) -> int:
               f"using it", file=sys.stderr)
     model, state = create_state(cfg)
     state, _ = checkpoints.restore(manager, state)
-    ds = PianoRollDataset.load_npy(args.data)
+    if args.midi_glob:
+        pieces = []
+        for path in sorted(glob.glob(args.midi_glob)):
+            with open(path, "rb") as f:
+                pieces.append((f.read(), 0, 0))
+        if not pieces:
+            print(f"no MIDI files match {args.midi_glob}", file=sys.stderr)
+            return 1
+        ds = PianoRollDataset.from_corpus(pieces, cfg.midi,
+                                          cfg.model.num_bars)
+    elif args.data:
+        ds = PianoRollDataset.load_npy(args.data)
+    else:
+        print("error: eval needs --data or --midi-glob", file=sys.stderr)
+        return 2
     eval_fn = make_eval_fn(cfg, model)
     b = cfg.train.batch_size
     rng = np.random.default_rng(0)
@@ -204,7 +218,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("eval", help="reconstruction metrics on a dataset")
     _add_common(p)
-    p.add_argument("--data", required=True, help="npz cache from preprocess")
+    p.add_argument("--data", default=None, help="npz cache from preprocess")
+    p.add_argument("--midi-glob", default=None,
+                   help="score raw .mid files directly (alternative to "
+                        "--data)")
     p.add_argument("--batches", type=int, default=8)
     p.set_defaults(fn=cmd_eval)
 
