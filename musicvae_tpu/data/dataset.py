@@ -66,6 +66,10 @@ class PianoRollDataset:
     @classmethod
     def load_npy(cls, path: str) -> "PianoRollDataset":
         with np.load(path) as z:
+            if "bars" not in z.files:
+                raise ValueError(
+                    f"{path} is not a bar-format cache "
+                    f"(found {z.files}); re-run `preprocess` to regenerate")
             return cls(z["bars"], z["starts"], int(z["num_bars"]),
                        z["chords"], z["keys"])
 
