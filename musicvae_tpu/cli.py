@@ -84,6 +84,13 @@ def cmd_train(args) -> int:
     if args.resume and manager.latest_step() is not None:
         _, template = create_state(cfg)
         state, cfg = checkpoints.restore(manager, template)
+        # the checkpoint's config wins by default, but explicit CLI flags
+        # must still apply (e.g. --resume --steps 500 extends the run)
+        if overrides:
+            cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                        **overrides))
+            print(f"resumed with CLI overrides: {overrides}",
+                  file=sys.stderr)
         print(f"resumed from step {manager.latest_step()}", file=sys.stderr)
     _, state, metrics = train(
         cfg, ds, mesh=mesh, ckpt_manager=manager, log_fn=logger, state=state)
@@ -129,11 +136,15 @@ def cmd_eval(args) -> int:
         return 2
     eval_fn = make_eval_fn(cfg, model)
     b = cfg.train.batch_size
-    rng = np.random.default_rng(0)
     acc = {}
-    n_batches = min(args.batches, max(1, len(ds) // b))
+    # deterministic partition sweep: each window is scored at most once
+    # (sampling with replacement double-counts windows on small datasets)
+    perm = np.random.default_rng(0).permutation(len(ds)).astype(np.int32)
+    if len(ds) < b:   # tiny dataset: single wrapped batch
+        perm = np.resize(perm, b)
+    n_batches = min(args.batches, max(1, len(perm) // b))
     for i in range(n_batches):
-        idx = rng.integers(0, len(ds), size=b)
+        idx = perm[i * b:(i + 1) * b]
         m = jax.device_get(eval_fn(state.params, ds.batch(idx),
                                    jax.random.key(i)))
         for k, v in m.items():
@@ -177,9 +188,17 @@ def cmd_generate(args) -> int:
         import jax.numpy as jnp
         b, n = cfg.gen.num_samples, cfg.gen.num_bars
         if args.chord is not None:
-            kw["chord"] = jnp.full((b, n), args.chord % 24, jnp.int32)
+            if not 0 <= args.chord < cfg.model.cond_chord_classes:
+                print(f"error: --chord {args.chord} out of range 0.."
+                      f"{cfg.model.cond_chord_classes - 1}", file=sys.stderr)
+                return 2
+            kw["chord"] = jnp.full((b, n), args.chord, jnp.int32)
         if args.key is not None:
-            kw["key_sig"] = jnp.full((b,), args.key % 24, jnp.int32)
+            if not 0 <= args.key < cfg.model.cond_key_classes:
+                print(f"error: --key {args.key} out of range 0.."
+                      f"{cfg.model.cond_key_classes - 1}", file=sys.stderr)
+                return 2
+            kw["key_sig"] = jnp.full((b,), args.key, jnp.int32)
     bars = np.asarray(gen(params, jax.random.key(args.seed), **kw))
     os.makedirs(args.out_dir, exist_ok=True)
     for i in range(min(args.write_midis, bars.shape[0])):

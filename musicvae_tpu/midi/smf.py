@@ -97,6 +97,11 @@ def parse_smf(data: bytes) -> MidiFile:
         while tpos < len(track):
             delta, tpos = _read_varlen(track, tpos)
             tick += delta
+            if tick > 0x7FFFFFFF:
+                # keep acceptance parity with the int32 native parser
+                # (native/smf_parser.cpp error -7) instead of silently
+                # diverging on extreme cumulative delta times
+                raise SMFError("tick overflow (> INT32_MAX)")
             last_tick = tick
             if tpos >= len(track):
                 raise SMFError("truncated event")
@@ -199,6 +204,14 @@ def write_smf(
     events: List[Tuple[int, int, bytes]] = []  # (tick, order, payload)
     for n in notes:
         vel = velocity if velocity is not None else n.velocity
+        # vel=0 would serialize as a note_on that re-parses as note_off
+        # (§1), silently corrupting the round trip — reject instead.
+        if not 1 <= vel <= 127:
+            raise SMFError(f"velocity {vel} out of range 1..127")
+        if not 0 <= n.pitch <= 127:
+            raise SMFError(f"pitch {n.pitch} out of range 0..127")
+        if n.start_tick < 0 or n.end_tick <= n.start_tick:
+            raise SMFError(f"bad note interval [{n.start_tick}, {n.end_tick})")
         # order: note_offs (0) before note_ons (1) at the same tick, so
         # back-to-back runs re-parse as separate notes.
         events.append((n.start_tick, 1, bytes([0x90, n.pitch, vel])))

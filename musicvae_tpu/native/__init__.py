@@ -33,6 +33,7 @@ _ERRORS = {
     -4: "unknown status byte",
     -5: "note/event overflow",
     -6: "unsupported SMF format",
+    -7: "tick overflow (> INT32_MAX)",
 }
 
 

@@ -60,6 +60,8 @@ extern "C" {
 //  -1 bad header / not SMF        -4 unknown status byte
 //  -2 SMPTE division unsupported  -5 note overflow (> max_notes)
 //  -3 truncated event             -6 unsupported format
+//  -7 tick overflow (> INT32_MAX; midi/smf.py enforces the same limit so
+//     the two parsers keep acceptance parity on extreme inputs)
 int32_t mvae_parse_smf(const uint8_t* data, int64_t len,
                        int32_t* out_notes /* [max_notes * 4]: s,e,pitch,vel */,
                        int32_t max_notes,
@@ -102,6 +104,11 @@ int32_t mvae_parse_smf(const uint8_t* data, int64_t len,
 
     while (r.pos < tend && r.ok) {
       tick += r.varlen();
+      // a delta-time that ends exactly at the track boundary leaves no
+      // status byte to read: malformed ("truncated event" in midi/smf.py).
+      // Without this check the status read below is a buffer overread.
+      if (!r.ok || r.pos >= tend) { r.ok = false; break; }
+      if (tick > INT32_MAX) return -7;
       last_tick = tick;
       uint8_t status = data[r.pos];
       if (status & 0x80) {

@@ -222,27 +222,6 @@ def make_train_step_indexed_multi(cfg: Config, model, k: int, opt=None,
     return jax.jit(multi, donate_argnums=(0,))
 
 
-def make_eval_step(cfg: Config, model) -> Callable:
-    """One-sample ELBO eval under a FIXED latent draw (key(0)): repeatable
-    across calls, but z = mu + eps*sigma for that one eps — not the
-    zero-noise posterior mean. The richer eval (plus precision/recall/F1)
-    is utils.metrics.make_eval_fn, which the CLI uses."""
-
-    def eval_step(params, batch):
-        kw = {}
-        if cfg.model.kind == "cond":
-            kw = {"chord": batch["chord"], "key_sig": batch["key_sig"]}
-        # latent rng is required by the module; eval uses a fixed key, and
-        # reported metrics are the one-sample ELBO under that key.
-        logits, latents = model.apply({"params": params}, batch["x"], **kw,
-                                      rngs={"latent": jax.random.key(0)})
-        _, m = elbo_from_outputs(cfg, logits, batch["x"], latents,
-                                 jnp.asarray(cfg.train.beta_max))
-        return m
-
-    return jax.jit(eval_step)
-
-
 def train(cfg: Config,
           data: Any,
           num_steps: Optional[int] = None,
@@ -266,6 +245,12 @@ def train(cfg: Config,
     state = jax.device_put(state, pmesh.replicated(mesh))
     num_steps = num_steps if num_steps is not None else cfg.train.num_steps
     b = cfg.train.batch_size
+    # host mirror of state.step (one sync at startup, none per step). On
+    # resume this starts at the restored step so (a) log/ckpt cadences carry
+    # the true step number and (b) num_steps means TOTAL steps — resuming a
+    # finished run is a no-op rather than a silent re-train.
+    start_step = int(jax.device_get(state.step))
+    remaining = max(0, num_steps - start_step)
 
     resident = hasattr(data, "bars")
     if resident:
@@ -275,11 +260,11 @@ def train(cfg: Config,
             arrays["keys"] = data.keys
         data_dev = jax.device_put(arrays, pmesh.replicated(mesh))
         # K steps per dispatch (host-link jitter amortizes); K must divide
-        # the log/ckpt cadence AND num_steps so boundaries land exactly —
-        # pick the largest such divisor of the gcd, capped at 50.
+        # the log/ckpt cadence AND the remaining steps so boundaries land
+        # exactly — pick the largest such divisor of the gcd, capped at 50.
         g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
         k = max(d for d in range(1, min(g, 50) + 1)
-                if g % d == 0 and num_steps % d == 0)
+                if g % d == 0 and remaining % d == 0)
         multi_fn = make_train_step_indexed_multi(cfg, model, k)
         # DP: shard the window-id batch axis over 'data'; the gather then
         # yields a batch sharded on 'data' and XLA psums the grads.
@@ -302,7 +287,7 @@ def train(cfg: Config,
         step_fn = make_train_step(cfg, model)
 
     metrics = {}
-    step = 0  # host-side mirror of state.step: no per-step device sync
+    step = start_step
     while step < num_steps:
         if resident:
             idxs = np.stack([next(idx_iter) for _ in range(k)])

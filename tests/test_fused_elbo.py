@@ -113,10 +113,12 @@ def test_recon_prf_metrics():
     np.testing.assert_allclose(m["precision"], 0.5)      # 1 of 2 predicted
     np.testing.assert_allclose(m["recall"], 0.5)         # 1 of 2 true
     np.testing.assert_allclose(m["f1"], 0.5)
-    # mask excludes the false positive column -> perfect precision
-    mask = jnp.ones(4).at[0].set(1.0)
-    m2 = recon_prf(r, x, jnp.array([1.0, 1.0, 0.0, 0.0]))
-    assert float(m2["precision"]) == 0.5
+    # an FP at pitch 3 with that column masked out does not count:
+    # precision becomes perfect while recall is unchanged
+    r2 = jnp.zeros((1, 4, 4)).at[0, 0, 0].set(1.0).at[0, 1, 3].set(1.0)
+    m2 = recon_prf(r2, x, jnp.array([1.0, 1.0, 1.0, 0.0]))
+    np.testing.assert_allclose(m2["precision"], 1.0)
+    np.testing.assert_allclose(m2["recall"], 0.5)
 
 
 def test_bce_grads_wrt_targets_and_mask():

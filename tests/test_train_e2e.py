@@ -184,15 +184,21 @@ def test_hier_latent_path_is_per_bar():
 
 
 def test_single_phrase_interpolation_uses_both_endpoints():
+    """A single-phrase interpolated sweep must decode the slerp MIDPOINT —
+    a regression to linspace(0, 1, 1) == [0.0] would silently decode z_a."""
     from musicvae_tpu.generate import latent_path
+    from musicvae_tpu.models.latent import slerp
 
     cfg = tiny(cpu_friendly(C2_GRU_4BAR))
-    z, _ = latent_path(jax.random.key(2), cfg, batch=2, num_bars=4,
-                       interpolate=True)
-    # midpoint slerp: must differ from the pure-z_a path that a naive
-    # linspace(0,1,1)=[0] would produce
-    import jax as _jax
-    k_a, k_b = _jax.random.split(_jax.random.split(jax.random.key(2))[0]) \
-        if False else (None, None)
-    # weaker but robust check: all bars share the (single) phrase z
+    key = jax.random.key(2)
+    z, _ = latent_path(key, cfg, batch=2, num_bars=4, interpolate=True)
+    # recompute the endpoints exactly the way latent_path draws them
+    k_a, k_b = jax.random.split(key)
+    z_a = jax.random.normal(k_a, (2, cfg.model.z_dim))
+    z_b = jax.random.normal(k_b, (2, cfg.model.z_dim))
+    np.testing.assert_allclose(np.asarray(z[:, 0]),
+                               np.asarray(slerp(z_a, z_b, 0.5)), atol=1e-5)
+    assert not np.allclose(np.asarray(z[:, 0]), np.asarray(z_a), atol=1e-3)
+    assert not np.allclose(np.asarray(z[:, 0]), np.asarray(z_b), atol=1e-3)
+    # and all bars of the single phrase share that one z
     np.testing.assert_array_equal(np.asarray(z[:, 0]), np.asarray(z[:, 3]))
