@@ -60,6 +60,9 @@ def cmd_train(args) -> int:
         ("beta_schedule", args.beta_schedule),
         ("beta_cycle_steps", args.beta_cycle_steps),
         ("beta_warmup_steps", args.beta_warmup_steps),
+        ("eval_every", args.eval_every),
+        ("eval_batches", args.eval_batches),
+        ("holdout_frac", args.holdout_frac),
     ) if v is not None}
     if overrides:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
@@ -75,6 +78,15 @@ def cmd_train(args) -> int:
         ds = PianoRollDataset.from_corpus(
             synth_corpus(64, n_bars=32, seed=cfg.train.seed),
             cfg.midi, cfg.model.num_bars)
+    eval_ds = None
+    best_manager = None
+    if cfg.train.eval_every > 0:
+        ds, eval_ds = ds.split(cfg.train.holdout_frac, seed=cfg.train.seed)
+        best_manager = checkpoints.make_manager(
+            os.path.join(args.ckpt_dir, "best"), keep=1)
+        print(f"holdout: {len(eval_ds)} eval windows "
+              f"({len(ds)} train), eval every {cfg.train.eval_every} steps",
+              file=sys.stderr)
     print(f"dataset: {len(ds)} windows; devices: {jax.devices()}",
           file=sys.stderr)
     mesh = make_mesh(cfg.mesh)
@@ -93,7 +105,10 @@ def cmd_train(args) -> int:
                   file=sys.stderr)
         print(f"resumed from step {manager.latest_step()}", file=sys.stderr)
     _, state, metrics = train(
-        cfg, ds, mesh=mesh, ckpt_manager=manager, log_fn=logger, state=state)
+        cfg, ds, mesh=mesh, ckpt_manager=manager, log_fn=logger, state=state,
+        eval_data=eval_ds, best_ckpt_manager=best_manager)
+    if best_manager is not None:
+        best_manager.wait_until_finished()
     checkpoints.save(manager, state, cfg, wait=True)
     logger.close()
     print(f"final metrics: { {k: float(v) for k, v in metrics.items()} }")
@@ -233,6 +248,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--beta-cycle-steps", type=int, default=None,
                    help="cycle length for --beta-schedule cyclical")
     p.add_argument("--beta-warmup-steps", type=int, default=None)
+    p.add_argument("--eval-every", type=int, default=None,
+                   help="run held-out eval every N steps (0 = off); the "
+                        "best state by eval loss is kept in "
+                        "<ckpt-dir>/best")
+    p.add_argument("--eval-batches", type=int, default=None)
+    p.add_argument("--holdout-frac", type=float, default=None,
+                   help="fraction of pieces held out for eval "
+                        "(config default 0.1)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="reconstruction metrics on a dataset")

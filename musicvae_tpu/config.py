@@ -76,6 +76,13 @@ class TrainSpec:
     log_every: int = 100
     ckpt_every: int = 1000
     ckpt_keep: int = 3
+    # periodic held-out eval inside train() (SURVEY §2.1 #10 "periodic eval
+    # recon"): every eval_every steps score eval_batches batches of the
+    # holdout split; the best-by-eval-loss state is checkpointed separately.
+    # 0 disables (the round-1 behavior).
+    eval_every: int = 0
+    eval_batches: int = 4
+    holdout_frac: float = 0.1
     seed: int = 0
     remat_encoder: bool = False          # jax.checkpoint on per-bar encoder
     # Pallas loss kernel in the TRAIN step. Default off: the custom VJP is

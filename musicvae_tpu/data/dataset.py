@@ -28,15 +28,21 @@ from musicvae_tpu.midi import tensorize
 
 class PianoRollDataset:
     def __init__(self, bars: np.ndarray, starts: np.ndarray, num_bars: int,
-                 chords: np.ndarray, keys: np.ndarray):
+                 chords: np.ndarray, keys: np.ndarray,
+                 piece_ids: np.ndarray = None):
         """bars: [T,96,128] uint8 (all pieces concatenated); starts: [N]
-        int32 window starts into ``bars``; chords/keys: [N] int32 labels."""
+        int32 window starts into ``bars``; chords/keys: [N] int32 labels;
+        piece_ids: [N] int32 source-piece index per window (enables
+        leakage-free train/eval splits; zeros for legacy caches)."""
         assert bars.ndim == 3 and bars.dtype == np.uint8
         self.bars = bars
         self.starts = np.asarray(starts, np.int32)
         self.num_bars = int(num_bars)
         self.chords = np.asarray(chords, np.int32)
         self.keys = np.asarray(keys, np.int32)
+        self.piece_ids = (np.zeros(self.starts.shape[0], np.int32)
+                          if piece_ids is None
+                          else np.asarray(piece_ids, np.int32))
 
     # -- construction --------------------------------------------------------
 
@@ -49,19 +55,22 @@ class PianoRollDataset:
         starts: List[int] = []
         chords: List[int] = []
         keys: List[int] = []
+        piece_ids: List[int] = []
         offset = 0
-        for bars, (_, chord, key) in zip(all_bars, pieces):
+        for pid, (bars, (_, chord, key)) in enumerate(zip(all_bars, pieces)):
             n = bars.shape[0]
             for s in range(0, n - num_bars + 1):
                 starts.append(offset + s)
                 chords.append(chord)
                 keys.append(key)
+                piece_ids.append(pid)
             offset += n
         if not starts:
             raise ValueError("corpus produced no windows "
                              f"(need pieces with >= {num_bars} bars)")
         return cls(np.concatenate(all_bars, axis=0), np.asarray(starts),
-                   num_bars, np.asarray(chords), np.asarray(keys))
+                   num_bars, np.asarray(chords), np.asarray(keys),
+                   np.asarray(piece_ids))
 
     @classmethod
     def load_npy(cls, path: str) -> "PianoRollDataset":
@@ -71,13 +80,49 @@ class PianoRollDataset:
                     f"{path} is not a bar-format cache "
                     f"(found {z.files}); re-run `preprocess` to regenerate")
             return cls(z["bars"], z["starts"], int(z["num_bars"]),
-                       z["chords"], z["keys"])
+                       z["chords"], z["keys"],
+                       z["piece_ids"] if "piece_ids" in z.files else None)
 
     def save_npy(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         np.savez_compressed(path, bars=self.bars, starts=self.starts,
                             num_bars=self.num_bars, chords=self.chords,
-                            keys=self.keys)
+                            keys=self.keys, piece_ids=self.piece_ids)
+
+    # -- splitting -----------------------------------------------------------
+
+    def split(self, holdout_frac: float, seed: int = 0
+              ) -> Tuple["PianoRollDataset", "PianoRollDataset"]:
+        """Deterministic (train, eval) split for in-training eval.
+
+        Splits at PIECE granularity: neighboring windows share bars, so a
+        window-level split leaks eval content into training. Legacy caches
+        without piece ids (all zeros) fall back to a tail split by window
+        position, which at least keeps the eval windows contiguous.
+        """
+        if not 0.0 < holdout_frac < 1.0:
+            raise ValueError(f"holdout_frac must be in (0, 1), "
+                             f"got {holdout_frac}")
+        n = len(self)
+        pieces = np.unique(self.piece_ids)
+        if pieces.shape[0] > 1:
+            perm = np.random.default_rng(seed).permutation(pieces)
+            n_eval = int(np.clip(round(holdout_frac * pieces.shape[0]),
+                                 1, pieces.shape[0] - 1))
+            eval_mask = np.isin(self.piece_ids, perm[:n_eval])
+        else:
+            n_eval = int(np.clip(round(holdout_frac * n), 1, n - 1))
+            eval_mask = np.zeros(n, dtype=bool)
+            eval_mask[n - n_eval:] = True
+        if eval_mask.all() or not eval_mask.any():
+            raise ValueError("degenerate split: adjust holdout_frac")
+
+        def _sub(mask: np.ndarray) -> "PianoRollDataset":
+            return PianoRollDataset(self.bars, self.starts[mask],
+                                    self.num_bars, self.chords[mask],
+                                    self.keys[mask], self.piece_ids[mask])
+
+        return _sub(~eval_mask), _sub(eval_mask)
 
     # -- serving -------------------------------------------------------------
 

@@ -228,11 +228,23 @@ def train(cfg: Config,
           mesh=None,
           ckpt_manager=None,
           log_fn: Optional[Callable[[int, Dict], None]] = None,
-          state: Optional[TrainState] = None):
+          state: Optional[TrainState] = None,
+          eval_data: Any = None,
+          best_ckpt_manager=None):
     """Host-side loop. ``data`` is either a PianoRollDataset (preferred:
     uploaded to HBM once, batches gathered on-device by index — see
     make_train_step_indexed) or an iterator of host batches (streaming
     fallback for corpora that don't fit in HBM).
+
+    ``num_steps`` is the TOTAL step count: a resumed state continues from
+    its restored step and stops at num_steps.
+
+    With ``eval_data`` (a held-out PianoRollDataset, see
+    PianoRollDataset.split) and cfg.train.eval_every > 0, a deterministic
+    eval sweep runs every eval_every steps; metrics are logged under
+    ``eval_*`` keys and, when ``best_ckpt_manager`` is given, the state
+    with the lowest eval loss so far is checkpointed there (SURVEY §2.1
+    #10 "periodic eval recon" — the early posterior-collapse signal).
 
     Returns (model, final_state, last_metrics).
     """
@@ -252,6 +264,34 @@ def train(cfg: Config,
     start_step = int(jax.device_get(state.step))
     remaining = max(0, num_steps - start_step)
 
+    eval_every = cfg.train.eval_every
+    do_eval = (eval_every > 0 and eval_data is not None
+               and len(eval_data) > 0)
+    if do_eval:
+        from musicvae_tpu.utils.metrics import make_eval_fn
+        eval_fn = make_eval_fn(cfg, model)
+        eb = min(b, len(eval_data))
+        # fixed partition: the same eval windows every sweep, so curves are
+        # comparable across steps (and across runs with one seed)
+        eval_perm = np.random.default_rng(cfg.train.seed).permutation(
+            len(eval_data)).astype(np.int32)
+        n_eval_batches = min(cfg.train.eval_batches,
+                             max(1, len(eval_data) // eb))
+        best_eval_loss = float("inf")
+
+        def run_eval(cur_state) -> Dict[str, float]:
+            acc: Dict[str, list] = {}
+            for i in range(n_eval_batches):
+                ebatch = jax.device_put(
+                    eval_data.batch(eval_perm[i * eb:(i + 1) * eb]),
+                    pmesh.replicated(mesh))
+                em = jax.device_get(
+                    eval_fn(cur_state.params, ebatch, jax.random.key(i)))
+                for mk, mv in em.items():
+                    acc.setdefault(mk, []).append(float(mv))
+            return {"eval_" + mk: sum(mv) / len(mv)
+                    for mk, mv in acc.items()}
+
     resident = hasattr(data, "bars")
     if resident:
         arrays = {"bars": data.bars, "starts": data.starts}
@@ -263,6 +303,8 @@ def train(cfg: Config,
         # the log/ckpt cadence AND the remaining steps so boundaries land
         # exactly — pick the largest such divisor of the gcd, capped at 50.
         g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
+        if do_eval:
+            g = math.gcd(g, eval_every)
         k = max(d for d in range(1, min(g, 50) + 1)
                 if g % d == 0 and remaining % d == 0)
         multi_fn = make_train_step_indexed_multi(cfg, model, k)
@@ -300,6 +342,15 @@ def train(cfg: Config,
             step += 1
         if log_fn is not None and step % cfg.train.log_every == 0:
             log_fn(step, jax.device_get(metrics))
+        if do_eval and step % eval_every == 0:
+            eval_metrics = run_eval(state)
+            if log_fn is not None:
+                log_fn(step, eval_metrics)
+            if (best_ckpt_manager is not None
+                    and eval_metrics["eval_loss"] < best_eval_loss):
+                best_eval_loss = eval_metrics["eval_loss"]
+                from musicvae_tpu.checkpoints import io as ckpt_io
+                ckpt_io.save(best_ckpt_manager, state, cfg)
         if ckpt_manager is not None and step % cfg.train.ckpt_every == 0:
             from musicvae_tpu.checkpoints import io as ckpt_io
             ckpt_io.save(ckpt_manager, state, cfg)

@@ -1,0 +1,109 @@
+"""Periodic in-training eval + best-checkpoint tracking (SURVEY §2.1 #10
+"periodic eval recon"): the holdout split, the eval cadence inside train(),
+and best-by-eval-loss checkpointing.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from conftest import cpu_friendly
+from musicvae_tpu.config import C1_CONV_BAR
+from musicvae_tpu.data import PianoRollDataset, synth_corpus
+
+
+def tiny(cfg, **train_kw):
+    model = dataclasses.replace(
+        cfg.model, enc_channels=(4, 8, 8, 8, 8), dec_channels=(8, 8, 8, 8, 8),
+        z_dim=16, gru_hidden=32, bar_feat_dim=32, dtype="float32")
+    train = dataclasses.replace(cfg.train, batch_size=8, **train_kw)
+    return cfg.replace(model=model, train=train)
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return PianoRollDataset.from_corpus(
+        synth_corpus(num_pieces=6, n_bars=6, seed=3),
+        C1_CONV_BAR.midi, num_bars=1)
+
+
+def test_split_piece_level_no_leakage(ds):
+    tr, ev = ds.split(0.34, seed=0)
+    assert len(tr) + len(ev) == len(ds)
+    assert len(tr) > 0 and len(ev) > 0
+    # piece-level: no piece appears on both sides (windows of one piece
+    # share bars, so a window-level split would leak)
+    assert not set(tr.piece_ids.tolist()) & set(ev.piece_ids.tolist())
+    # deterministic
+    tr2, ev2 = ds.split(0.34, seed=0)
+    np.testing.assert_array_equal(ev.starts, ev2.starts)
+    # the underlying bar store is shared, not copied
+    assert tr.bars is ds.bars and ev.bars is ds.bars
+
+
+def test_split_single_piece_falls_back_to_tail():
+    one = PianoRollDataset.from_corpus(
+        synth_corpus(num_pieces=1, n_bars=12, seed=1),
+        C1_CONV_BAR.midi, num_bars=1)
+    tr, ev = one.split(0.25)
+    assert len(tr) + len(ev) == len(one)
+    # tail split: eval windows are the last ones (contiguous)
+    assert ev.starts.min() > tr.starts.max()
+
+
+def test_split_validates_frac(ds):
+    for bad in (0.0, 1.0, -0.5, 2.0):
+        with pytest.raises(ValueError):
+            ds.split(bad)
+
+
+def test_legacy_cache_roundtrip_keeps_piece_ids(tmp_path, ds):
+    path = str(tmp_path / "cache.npz")
+    ds.save_npy(path)
+    back = PianoRollDataset.load_npy(path)
+    np.testing.assert_array_equal(back.piece_ids, ds.piece_ids)
+    # legacy cache without piece_ids loads with zeros (tail-split fallback)
+    np.savez_compressed(path, bars=ds.bars, starts=ds.starts,
+                        num_bars=ds.num_bars, chords=ds.chords, keys=ds.keys)
+    legacy = PianoRollDataset.load_npy(path)
+    assert (legacy.piece_ids == 0).all()
+
+
+def test_train_runs_eval_and_tracks_best(tmp_path, ds):
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.train import train
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR, num_steps=20, log_every=10,
+                            ckpt_every=20, eval_every=10, eval_batches=2,
+                            learning_rate=2e-3))
+    tr, ev = ds.split(0.34, seed=0)
+    best = checkpoints.make_manager(str(tmp_path / "best"), 1)
+    records = []
+    _, state, _ = train(cfg, tr, eval_data=ev, best_ckpt_manager=best,
+                        log_fn=lambda s, m: records.append((s, m)))
+    best.wait_until_finished()
+
+    eval_records = {s: m for s, m in records if "eval_loss" in m}
+    assert sorted(eval_records) == [10, 20], "eval must fire every 10 steps"
+    for m in eval_records.values():
+        assert {"eval_loss", "eval_recon", "eval_kl", "eval_f1"} <= set(m)
+    # best checkpoint is the argmin-eval-loss step
+    best_step = min(eval_records, key=lambda s: eval_records[s]["eval_loss"])
+    assert best.latest_step() == best_step
+    assert int(state.step) == 20
+
+
+def test_resume_is_noop_when_finished(ds):
+    """num_steps is TOTAL: resuming a finished run performs zero steps."""
+    from musicvae_tpu.train import train
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR, num_steps=4, log_every=2,
+                            ckpt_every=4))
+    _, state, _ = train(cfg, ds)
+    assert int(state.step) == 4
+    _, state2, _ = train(cfg, ds, state=state)
+    assert int(state2.step) == 4
+    # and extending num_steps continues from the restored step
+    _, state3, _ = train(cfg, ds, num_steps=6, state=state2)
+    assert int(state3.step) == 6
