@@ -28,17 +28,37 @@ def cmd_preprocess(args) -> int:
 
     cfg = get_config(args.config)
     if args.midi_glob:
+        sidecar = {}
+        if args.labels:
+            import json
+            with open(args.labels) as f:
+                sidecar = json.load(f)
+        # real MIDI carries no chord/key classes: a sidecar label wins,
+        # otherwise they are inferred from the rolls (midi/labels.py)
+        # unless --no-infer-labels pins them to 0.
         pieces = []
         for path in sorted(glob.glob(args.midi_glob)):
             with open(path, "rb") as f:
-                pieces.append((f.read(), 0, 0))
+                data = f.read()
+            lab = sidecar.get(os.path.basename(path), {})
+            chord = lab.get("chord")
+            key = lab.get("key")
+            for name, v in (("chord", chord), ("key", key)):
+                if v is not None and not 0 <= int(v) < 24:
+                    print(f"error: label {name}={v} for {path} out of "
+                          f"range 0..23", file=sys.stderr)
+                    return 2
+            pieces.append((data, chord, key))
         if not pieces:
             print(f"no MIDI files match {args.midi_glob}", file=sys.stderr)
             return 1
+        infer = not args.no_infer_labels
     else:
         pieces = synth_corpus(args.synthetic_pieces, n_bars=32,
                               seed=cfg.train.seed)
-    ds = PianoRollDataset.from_corpus(pieces, cfg.midi, cfg.model.num_bars)
+        infer = False  # synthetic pieces carry ground-truth labels
+    ds = PianoRollDataset.from_corpus(pieces, cfg.midi, cfg.model.num_bars,
+                                      infer_labels=infer)
     ds.save_npy(args.out)
     print(f"wrote {len(ds)} windows of {cfg.model.num_bars} bars to {args.out}")
     return 0
@@ -138,12 +158,13 @@ def cmd_eval(args) -> int:
         pieces = []
         for path in sorted(glob.glob(args.midi_glob)):
             with open(path, "rb") as f:
-                pieces.append((f.read(), 0, 0))
+                pieces.append((f.read(), None, None))
         if not pieces:
             print(f"no MIDI files match {args.midi_glob}", file=sys.stderr)
             return 1
         ds = PianoRollDataset.from_corpus(pieces, cfg.midi,
-                                          cfg.model.num_bars)
+                                          cfg.model.num_bars,
+                                          infer_labels=True)
     elif args.data:
         ds = PianoRollDataset.load_npy(args.data)
     else:
@@ -234,6 +255,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--midi-glob", default=None,
                    help="glob of .mid files (default: synthetic corpus)")
     p.add_argument("--synthetic-pieces", type=int, default=64)
+    p.add_argument("--labels", default=None,
+                   help="JSON sidecar {basename: {'chord': c, 'key': k}} "
+                        "overriding inferred labels for those files")
+    p.add_argument("--no-infer-labels", action="store_true",
+                   help="pin unlabeled real-MIDI chord/key to 0 instead of "
+                        "inferring them from the rolls")
     p.add_argument("--out", default="data/rolls.npz")
     p.set_defaults(fn=cmd_preprocess)
 

@@ -48,8 +48,14 @@ class PianoRollDataset:
 
     @classmethod
     def from_corpus(cls, pieces: Sequence[Tuple[bytes, int, int]],
-                    spec: MidiSpec, num_bars: int) -> "PianoRollDataset":
-        """pieces: (smf_bytes, chord_class, key_class) triples."""
+                    spec: MidiSpec, num_bars: int,
+                    infer_labels: bool = False) -> "PianoRollDataset":
+        """pieces: (smf_bytes, chord_class, key_class) triples. A None
+        chord/key means "unlabeled": inferred from the rolls when
+        ``infer_labels`` (key per piece via Krumhansl-Schmuckler, chord per
+        window via triad match — midi/labels.py), else 0."""
+        from musicvae_tpu.midi import labels as labels_mod
+
         all_bars = tensorize.corpus_to_bars([p[0] for p in pieces], spec,
                                             as_uint8=True)
         starts: List[int] = []
@@ -58,10 +64,18 @@ class PianoRollDataset:
         piece_ids: List[int] = []
         offset = 0
         for pid, (bars, (_, chord, key)) in enumerate(zip(all_bars, pieces)):
+            if key is None:
+                key = labels_mod.estimate_key(bars) if infer_labels else 0
             n = bars.shape[0]
             for s in range(0, n - num_bars + 1):
+                if chord is None:
+                    c = (labels_mod.estimate_chord(bars[s:s + num_bars],
+                                                   fallback=key)
+                         if infer_labels else 0)
+                else:
+                    c = chord
                 starts.append(offset + s)
-                chords.append(chord)
+                chords.append(c)
                 keys.append(key)
                 piece_ids.append(pid)
             offset += n
