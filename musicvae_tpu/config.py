@@ -169,8 +169,21 @@ C5_GEN_SWEEP = Config(
     mesh=MeshSpec(data=8),
 )
 
+# Pitch-range crop driven end-to-end (BASELINE north_star "pitch-range
+# crop" pipeline stage): C2's seq-VAE restricted to the 84-key playing
+# range [24, 108). The crop is a mask, not a slice — rolls stay 128 wide
+# (lane-aligned), the loss ignores out-of-range cells (ops/losses.py via
+# tensorize.pitch_mask) and generation zeroes them (models _binarize).
+C2_CROPPED = Config(
+    name="c2_cropped",
+    midi=MidiSpec(pitch_lo=24, pitch_hi=108),
+    model=ModelSpec(kind="gru_seq", num_bars=4, z_dim=128),
+    train=TrainSpec(batch_size=64, beta_warmup_steps=4000),
+)
+
 _CONFIGS = {c.name: c for c in
-            (C1_CONV_BAR, C2_GRU_4BAR, C3_HIER_16BAR, C4_COND, C5_GEN_SWEEP)}
+            (C1_CONV_BAR, C2_GRU_4BAR, C3_HIER_16BAR, C4_COND, C5_GEN_SWEEP,
+             C2_CROPPED)}
 
 
 def get_config(name: str) -> Config:

@@ -77,6 +77,42 @@ def test_e2e_generate_to_midi_roundtrip(corpus):
     np.testing.assert_array_equal(padded, bars[0])
 
 
+def test_cropped_config_end_to_end(corpus):
+    """Pitch-range crop driven through train → generate → MIDI export:
+    generated rolls are zero outside [pitch_lo, pitch_hi) and exported
+    notes stay inside the crop (BASELINE north_star 'pitch-range crop')."""
+    from musicvae_tpu.config import C2_CROPPED
+    from musicvae_tpu.midi import smf
+
+    cfg = tiny(cpu_friendly(C2_CROPPED)).replace(
+        gen=GenSpec(num_bars=6, num_samples=2))
+    assert (cfg.midi.pitch_lo, cfg.midi.pitch_hi) == (24, 108)
+    model, state, first, last = _overfit(cfg, corpus, steps=25)
+    assert last < first, "cropped config must still learn"
+    gen = make_generate_fn(cfg, model)
+    bars = np.asarray(gen(state.params, jax.random.key(1)))
+    assert bars.shape == (2, 6, 96, 128)     # rolls stay 128-wide (mask,
+    assert bars[..., :24].sum() == 0         # not slice) — out-of-crop
+    assert bars[..., 108:].sum() == 0        # cells are forced to zero
+    # export respects the crop even if some bars are non-empty
+    data = bars_to_midi(bars[0], cfg)
+    parsed = smf.parse_smf(data)
+    for note in parsed.notes:
+        assert 24 <= note.pitch < 108
+    # the loss must ignore out-of-crop cells: perturbing logits there
+    # cannot change the ELBO
+    from musicvae_tpu.midi.tensorize import pitch_mask
+    from musicvae_tpu.ops import losses
+    k = jax.random.key(3)
+    logits = jax.random.normal(k, (2, 1, 96, 128))
+    x = jnp.zeros((2, 1, 96, 128))
+    mask = pitch_mask(cfg.midi)
+    base = float(losses.masked_bce_sum(logits, x, mask))
+    bumped = float(losses.masked_bce_sum(
+        logits.at[..., 0].add(100.0).at[..., 120].add(-50.0), x, mask))
+    assert base == bumped
+
+
 def test_generation_bit_deterministic(corpus):
     cfg = tiny(cpu_friendly(C2_GRU_4BAR)).replace(
         gen=GenSpec(num_bars=4, num_samples=2))
