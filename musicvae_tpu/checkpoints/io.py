@@ -72,15 +72,41 @@ def restore_config(manager: ocp.CheckpointManager,
 def restore(manager: ocp.CheckpointManager, abstract_state,
             step: Optional[int] = None) -> Tuple[Any, config_lib.Config]:
     """Restore (state, config). abstract_state: a pytree of ShapeDtypeStructs
-    or a concrete template TrainState (e.g. from trainer.create_state)."""
-    step = step if step is not None else manager.latest_step()
-    if step is None:
+    or a concrete template TrainState (e.g. from trainer.create_state).
+
+    With no explicit ``step``, a step that fails to load (e.g. corrupted
+    on disk after an interrupted write that still committed its marker)
+    is skipped with a warning and the next-newest complete step is tried —
+    resume survives a damaged latest checkpoint (SURVEY §5.3 failure
+    detection). An explicit ``step`` is strict: failures propagate.
+    """
+    if step is not None:
+        steps = [step]
+        strict = True
+    else:
+        steps = sorted(manager.all_steps(), reverse=True)
+        strict = False
+    if not steps:
         raise FileNotFoundError("no checkpoint found")
-    restored = manager.restore(
-        step,
-        args=ocp.args.Composite(
-            state=ocp.args.StandardRestore(abstract_state),
-            config=ocp.args.JsonRestore(),
-        ))
-    cfg = config_from_json(json.dumps(restored["config"]))
-    return restored["state"], cfg
+    last_err: Optional[Exception] = None
+    for s in steps:
+        try:
+            restored = manager.restore(
+                s,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(abstract_state),
+                    config=ocp.args.JsonRestore(),
+                ))
+        except Exception as e:
+            if strict:
+                raise
+            last_err = e
+            import sys
+            print(f"warning: checkpoint step {s} failed to restore "
+                  f"({type(e).__name__}); falling back to an earlier step",
+                  file=sys.stderr)
+            continue
+        cfg = config_from_json(json.dumps(restored["config"]))
+        return restored["state"], cfg
+    raise RuntimeError(
+        f"all checkpoint steps {steps} failed to restore") from last_err

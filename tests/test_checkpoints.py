@@ -95,6 +95,69 @@ def test_keep_n_retention(tmp_path):
     assert mgr.all_steps() == [3, 4]
 
 
+def _two_step_run(tmp_path, cfg):
+    """Train 2 steps saving after each; returns (manager_dir, states)."""
+    model, state = create_state(cfg)
+    step = make_train_step(cfg, model, use_pallas=False)
+    mgr = checkpoints.make_manager(str(tmp_path / "ckpt"), keep=3)
+    states = []
+    for _ in range(2):
+        state, _ = step(state, _batch(cfg))
+        checkpoints.save(mgr, state, cfg, wait=True)
+        states.append(jax.device_get(state))
+    return str(tmp_path / "ckpt"), states
+
+
+def test_fault_injection_interrupted_save(tmp_path):
+    """Crash mid-async-save (SURVEY §5.3): Orbax's atomicity is
+    write-to-tmp-then-rename, so an interrupted save leaves a
+    '<step>.orbax-checkpoint-tmp-*' dir. A fresh manager must fall back to
+    the last COMPLETE step, restore it exactly, and keep working."""
+    import os
+
+    cfg = tiny(C1_CONV_BAR)
+    ckpt_dir, states = _two_step_run(tmp_path, cfg)
+    # simulate the crash: step 2's final rename never happened
+    os.rename(os.path.join(ckpt_dir, "2"),
+              os.path.join(ckpt_dir, "2.orbax-checkpoint-tmp-999"))
+
+    mgr = checkpoints.make_manager(ckpt_dir, keep=3)
+    assert mgr.all_steps() == [1]
+    assert mgr.latest_step() == 1
+    _, template = create_state(cfg)
+    restored, _ = checkpoints.restore(mgr, template)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(states[0].params),
+                    jax.tree.leaves(jax.device_get(restored.params))):
+        np.testing.assert_array_equal(a, b)
+    # the manager still accepts new saves after the stale tmp dir
+    checkpoints.save(mgr, restored.replace(step=restored.step + 1),
+                     cfg, wait=True)
+    assert checkpoints.make_manager(ckpt_dir).latest_step() == 2
+
+
+def test_restore_falls_back_on_corrupt_latest(tmp_path):
+    """A step that committed its marker but lost its payload (disk damage)
+    must not brick resume: restore() skips it with a warning and loads the
+    next-newest complete step. An explicit step stays strict."""
+    import shutil
+
+    cfg = tiny(C1_CONV_BAR)
+    ckpt_dir, states = _two_step_run(tmp_path, cfg)
+    shutil.rmtree(f"{ckpt_dir}/2/state")   # payload gone, marker intact
+
+    mgr = checkpoints.make_manager(ckpt_dir, keep=3)
+    assert mgr.latest_step() == 2          # orbax still lists it...
+    _, template = create_state(cfg)
+    restored, _ = checkpoints.restore(mgr, template)   # ...we fall back
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(states[0].params),
+                    jax.tree.leaves(jax.device_get(restored.params))):
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(Exception):
+        checkpoints.restore(mgr, template, step=2)     # explicit = strict
+
+
 def test_restore_missing_raises(tmp_path):
     cfg = tiny(C1_CONV_BAR)
     _, template = create_state(cfg)
