@@ -2,7 +2,8 @@
 
 from musicvae_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS, MODEL_AXIS,
-    batch_sharding, make_mesh, replicated, shard_batch,
+    batch_sharding, make_mesh, put_global, put_tree, replicated,
+    shard_batch,
 )
 from musicvae_tpu.parallel.distributed import initialize_from_env  # noqa: F401
 from musicvae_tpu.parallel.tp import (  # noqa: F401

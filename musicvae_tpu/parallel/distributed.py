@@ -3,11 +3,13 @@
 Within a slice, everything rides ICI via the ('data','model') mesh and XLA
 collectives — no hand-written comm backend. Across hosts (multi-host pods,
 DCN), JAX needs ``jax.distributed.initialize`` before any backend use; this
-module provides the launch wiring. NOTE: the training DATA path currently
-assumes all mesh devices are addressable (single-host, any number of local
-chips); feeding a mesh that spans hosts additionally needs
-process-local-array plumbing (jax.make_array_from_process_local_data) in
-the trainer — documented as future work, not claimed.
+module provides the launch wiring. The training DATA path spans hosts:
+every process computes the same host-side values (bar cache, window-id
+batches, initial state — all deterministic in (corpus, seed)) and
+parallel/mesh.put_global uploads only each process's own device shards
+(make_array_from_single_device_arrays), so train() runs unchanged on a
+process-spanning mesh. Proven by the 2-process CPU equivalence test in
+tests/test_multiprocess.py (same loss/params as the single-process mesh).
 
 Single-host runs (this build environment: one chip) skip initialization.
 """

@@ -52,7 +52,44 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """Host array → global jax.Array under ``sharding``, valid even when
+    the mesh spans processes (multi-host pods over DCN).
+
+    Every process must hold the SAME full-size host value — the framework's
+    data-loading contract: the bar cache and the per-step window-id batches
+    are deterministic functions of (corpus, seed), so each host computes the
+    identical global value and this helper uploads only the shards its own
+    devices own. jax.device_put can't do this (it rejects shardings that
+    include non-addressable devices); building per-device shards +
+    make_array_from_single_device_arrays is the JAX-native answer.
+    """
+    from jax import dtypes as jdtypes
+    if (hasattr(x, "dtype")
+            and jdtypes.issubdtype(x.dtype, jdtypes.prng_key)):
+        # typed PRNG keys ride as their uint32 key data (replicated state
+        # keys — the only key leaves in this framework's pytrees)
+        data = put_global(np.asarray(jax.random.key_data(x)), sharding)
+        return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
+    x = np.asarray(x)
+    idx_map = sharding.addressable_devices_indices_map(x.shape)
+    shards = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding,
+                                                    list(shards))
+
+
+def put_tree(tree, sharding: NamedSharding):
+    """put_global over a pytree (single sharding for every leaf).
+
+    Single-process fast path: plain device_put (one transfer per leaf,
+    XLA-managed replication) — identical semantics, less per-shard Python.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(lambda x: put_global(x, sharding), tree)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch pytree onto the mesh, batch-axis sharded."""
-    s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    """Place a host batch pytree onto the mesh, batch-axis sharded.
+    Works on process-spanning meshes (see put_global's data contract)."""
+    return put_tree(batch, batch_sharding(mesh))

@@ -254,7 +254,10 @@ def train(cfg: Config,
     else:
         from musicvae_tpu.models.vae import build_model
         model = build_model(cfg)   # resumed: don't re-init throwaway params
-    state = jax.device_put(state, pmesh.replicated(mesh))
+    # replicate the state across the mesh — put_tree spans processes (every
+    # process computed the identical state: init is deterministic in seed,
+    # restore loads the same checkpoint)
+    state = pmesh.put_tree(state, pmesh.replicated(mesh))
     num_steps = num_steps if num_steps is not None else cfg.train.num_steps
     b = cfg.train.batch_size
     # host mirror of state.step (one sync at startup, none per step). On
@@ -282,7 +285,7 @@ def train(cfg: Config,
         def run_eval(cur_state) -> Dict[str, float]:
             acc: Dict[str, list] = {}
             for i in range(n_eval_batches):
-                ebatch = jax.device_put(
+                ebatch = pmesh.put_tree(
                     eval_data.batch(eval_perm[i * eb:(i + 1) * eb]),
                     pmesh.replicated(mesh))
                 em = jax.device_get(
@@ -298,7 +301,10 @@ def train(cfg: Config,
         if cfg.model.kind == "cond":
             arrays["chords"] = data.chords
             arrays["keys"] = data.keys
-        data_dev = jax.device_put(arrays, pmesh.replicated(mesh))
+        # one upload at startup; on a process-spanning mesh each host holds
+        # the same cache and uploads only its own devices' (replicated)
+        # shards — the multi-host data path (SURVEY §2.2 comm backend row)
+        data_dev = pmesh.put_tree(arrays, pmesh.replicated(mesh))
         # K steps per dispatch (host-link jitter amortizes); K must divide
         # the log/ckpt cadence AND the remaining steps so boundaries land
         # exactly — pick the largest such divisor of the gcd, capped at 50.
@@ -332,8 +338,11 @@ def train(cfg: Config,
     step = start_step
     while step < num_steps:
         if resident:
+            # every process draws the same ids (same seed) and put_tree
+            # uploads each device's slice — the batch axis is globally
+            # sharded over 'data' whether or not the mesh spans hosts
             idxs = np.stack([next(idx_iter) for _ in range(k)])
-            idxs = jax.device_put(idxs, idx_sharding)
+            idxs = pmesh.put_tree(idxs, idx_sharding)
             state, metrics = multi_fn(state, data_dev, idxs)
             step += k
         else:

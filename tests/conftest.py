@@ -27,3 +27,8 @@ def cpu_friendly(cfg):
     behavior under test (shapes, semantics, parity) is dtype-independent,
     so tests run the models in float32."""
     return cfg.replace(model=dataclasses.replace(cfg.model, dtype="float32"))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running integration tests")

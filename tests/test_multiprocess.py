@@ -1,0 +1,68 @@
+"""Multi-host data path (SURVEY §2.2 'Communication backend' row): the
+PRODUCTION train loop on a mesh that spans processes must match the same
+mesh on one process. 2 subprocesses x 4 fake CPU devices == 8 global
+devices, coordinated via jax.distributed on localhost (SURVEY §4.4's
+fake-backend answer scaled to real process boundaries).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "mp_train_worker.py")
+REPO = os.path.abspath(os.path.join(HERE, os.pardir))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env() -> dict:
+    env = dict(os.environ)
+    # a clean slate: the worker sets its own device count; the axon site
+    # dir must stay importable but the TPU must not be selected
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (REPO, env.get("PYTHONPATH", "")) if p)
+    return env
+
+
+def _run(num_procs: int, coordinator: str):
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, coordinator, str(num_procs), str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=_worker_env(),
+        cwd=REPO) for i in range(num_procs)]
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode(errors="replace")[-3000:]
+        results.append(json.loads(out.decode().strip().splitlines()[-1]))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_train_matches_single_process():
+    port = _free_port()
+    two = _run(2, f"127.0.0.1:{port}")
+    one = _run(1, "unused")[0]
+
+    # both processes observe the identical replicated result
+    assert two[0]["step"] == two[1]["step"] == one["step"] == 6
+    np.testing.assert_allclose(two[0]["loss"], two[1]["loss"], rtol=0)
+    np.testing.assert_allclose(two[0]["param_sum"], two[1]["param_sum"],
+                               rtol=0)
+    # and the process boundary changes nothing: same global mesh, same
+    # data, same arithmetic (CPU collectives are deterministic; tolerance
+    # covers reduction-order differences across runtime paths)
+    np.testing.assert_allclose(two[0]["loss"], one["loss"], rtol=1e-5)
+    np.testing.assert_allclose(two[0]["param_sum"], one["param_sum"],
+                               rtol=1e-6)
