@@ -148,23 +148,28 @@ class PianoRollDataset:
         return (self.starts[idx][:, None]
                 + np.arange(self.num_bars, dtype=np.int32)[None, :])
 
-    def batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        """Small host-side batch (eval/tests); training gathers on device."""
-        x = self.bars[self.window_indices(idx)].astype(np.float32)
+    def batch(self, idx: np.ndarray,
+              x_dtype=np.float32) -> Dict[str, np.ndarray]:
+        """Small host-side batch (eval/tests); training gathers on device.
+        ``x_dtype=np.uint8`` skips the float expansion — the streaming
+        producer bit-packs the rolls anyway (train/trainer.py)."""
+        x = self.bars[self.window_indices(idx)].astype(x_dtype, copy=False)
         return {"x": x,
                 "chord": np.repeat(self.chords[idx][:, None], self.num_bars,
                                    axis=1),
                 "key_sig": self.keys[idx]}
 
     def iterator(self, batch_size: int, seed: int = 0,
-                 drop_remainder: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                 drop_remainder: bool = True,
+                 x_dtype=np.float32) -> Iterator[Dict[str, np.ndarray]]:
         """Infinite shuffled epochs of host batches (streaming fallback)."""
         rng = np.random.default_rng(seed)
         n = len(self)
         while True:
             if n < batch_size:
-                yield self.batch(rng.integers(0, n, size=batch_size))
+                yield self.batch(rng.integers(0, n, size=batch_size),
+                                 x_dtype)
                 continue
             perm = rng.permutation(n)
             for i in range(0, n - batch_size + 1, batch_size):
-                yield self.batch(perm[i:i + batch_size])
+                yield self.batch(perm[i:i + batch_size], x_dtype)

@@ -184,6 +184,45 @@ def test_multi_step_scan_equals_sequential(corpus):
         np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_streaming_prefetch_matches_sequential(corpus):
+    """The streaming fallback (iterator data → double-buffered prefetch +
+    K-step scan) must compute exactly what K sequential single steps over
+    the same host batches compute."""
+    from musicvae_tpu.train import train
+
+    cfg = tiny(cpu_friendly(C1_CONV_BAR))
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, num_steps=6, log_every=2, ckpt_every=6))
+    ds = PianoRollDataset.from_corpus(corpus, cfg.midi, cfg.model.num_bars)
+
+    model, s_ref = create_state(cfg)
+    step_fn = make_train_step(cfg, model, use_pallas=False)
+    it = ds.iterator(cfg.train.batch_size, seed=5)
+    for _ in range(6):
+        s_ref, m_ref = step_fn(s_ref, next(it))
+
+    records = []
+    _, s_str, m_str = train(cfg, ds.iterator(cfg.train.batch_size, seed=5),
+                            log_fn=lambda s, m: records.append(s))
+    assert int(s_str.step) == int(s_ref.step) == 6
+    assert records == [2, 4, 6]   # log cadence preserved under K-step scan
+    np.testing.assert_allclose(float(m_str["loss"]), float(m_ref["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s_ref.params)),
+                    jax.tree.leaves(jax.device_get(s_str.params))):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # the uint8 fast path (no host float expansion) is bit-identical too:
+    # the producer packs (x != 0) either way
+    _, s_u8, m_u8 = train(cfg, ds.iterator(cfg.train.batch_size, seed=5,
+                                           x_dtype=np.uint8))
+    np.testing.assert_allclose(float(m_u8["loss"]), float(m_str["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(s_str.params)),
+                    jax.tree.leaves(jax.device_get(s_u8.params))):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_cond_generation_keys_independent_of_chords():
     """PRNG streams for auto-sampled chord and key_sig must be independent."""
     from musicvae_tpu.config import C4_COND
