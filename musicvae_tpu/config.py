@@ -54,6 +54,11 @@ class ModelSpec:
     cond_embed_dim: int = 16
     use_prev_bar: bool = True            # decoder conditions on previous bar
     dtype: str = "bfloat16"              # compute dtype (params stay fp32)
+    # First encoder conv via the banded-MXU Pallas kernel
+    # (ops/conv1_pallas.py) instead of XLA's conv emitter; checkpoint
+    # layout is identical either way. See BASELINE.md utilization notes
+    # for the measured A/B.
+    use_pallas_conv1: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

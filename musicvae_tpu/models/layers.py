@@ -24,11 +24,33 @@ def _dtype(name: str) -> jnp.dtype:
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
+class _FirstConvPallas(nn.Module):
+    """Drop-in for the trunk's first nn.Conv (+gelu) via the banded-MXU
+    Pallas kernel (ops/conv1_pallas.py). Declares the IDENTICAL parameter
+    pytree ({kernel: [3,3,1,C], bias: [C]}) under the same module name, so
+    checkpoints are interchangeable with the XLA path."""
+
+    features: int
+    out_dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, 96, 128, 1]
+        from musicvae_tpu.ops.conv1_pallas import first_conv_s2
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return first_conv_s2(x[..., 0], kernel[:, :, 0, :], bias,
+                             gelu=True, out_dtype=_dtype(self.out_dtype))
+
+
 class ConvTrunk(nn.Module):
     """Stride-2 conv pyramid over a single bar roll: [B,T,P,1] → [B,F]."""
 
     channels: Sequence[int]
     dtype: str = "bfloat16"
+    first_conv_pallas: bool = False   # ModelSpec.use_pallas_conv1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -37,10 +59,16 @@ class ConvTrunk(nn.Module):
         # explicit symmetric (1,1) padding: XLA's stride-2 SAME pads (0,1),
         # which would misalign checkpoint-parity with torch-convention
         # reference models (checkpoints/torch_convert.py)
-        for ch in self.channels:
+        for i, ch in enumerate(self.channels):
+            if (i == 0 and self.first_conv_pallas
+                    and h.shape[1:] == (96, 128, 1)):
+                # gelu is fused into the kernel; param paths unchanged
+                h = _FirstConvPallas(ch, self.dtype, name="Conv_0")(h)
+                continue
             h = nn.Conv(ch, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)),
-                        dtype=dt, param_dtype=jnp.float32)(h)
+                        dtype=dt, param_dtype=jnp.float32,
+                        name=f"Conv_{i}")(h)
             h = nn.gelu(h)
         return h.reshape(h.shape[0], -1)
 
@@ -51,11 +79,13 @@ class BarFeat(nn.Module):
     feat_dim: int
     channels: Sequence[int]
     dtype: str = "bfloat16"
+    first_conv_pallas: bool = False
 
     @nn.compact
     def __call__(self, bar: jax.Array) -> jax.Array:
         # bar: [B, T, P] binary roll
-        h = ConvTrunk(self.channels, self.dtype)(bar[..., None])
+        h = ConvTrunk(self.channels, self.dtype,
+                      self.first_conv_pallas)(bar[..., None])
         h = nn.Dense(self.feat_dim, dtype=_dtype(self.dtype),
                      param_dtype=jnp.float32)(h)
         return nn.tanh(h)

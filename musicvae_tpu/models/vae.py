@@ -52,7 +52,8 @@ class BarDecoder(nn.Module):
         self._dt = dt
         if spec.use_prev_bar:
             self.prev_feat = layers.BarFeat(spec.bar_feat_dim,
-                                            spec.enc_channels, spec.dtype)
+                                            spec.enc_channels, spec.dtype,
+                                            spec.use_pallas_conv1)
         if spec.kind != "conv_bar":
             self.h_init = nn.Dense(spec.gru_hidden, dtype=dt,
                                    param_dtype=jnp.float32)
@@ -190,13 +191,14 @@ class PianoRollVAE(nn.Module):
     def setup(self):
         spec = self.spec
         if spec.kind == "conv_bar":
-            self.enc_trunk = layers.ConvTrunk(spec.enc_channels, spec.dtype)
+            self.enc_trunk = layers.ConvTrunk(spec.enc_channels, spec.dtype,
+                                              spec.use_pallas_conv1)
             self.z_head = layers.GaussianHead(spec.z_dim, spec.dtype)
         else:
             feat_cls = nn.remat(layers.BarFeat) if self.remat \
                 else layers.BarFeat
             self.enc_feat = feat_cls(spec.bar_feat_dim, spec.enc_channels,
-                                     spec.dtype)
+                                     spec.dtype, spec.use_pallas_conv1)
             self.enc_gru = layers.ScanGRU(spec.gru_hidden, spec.dtype)
             if spec.kind == "hier":
                 self.phrase_head = layers.GaussianHead(spec.z_phrase_dim,

@@ -317,11 +317,15 @@ def train(cfg: Config,
         data_dev = pmesh.put_tree(arrays, pmesh.replicated(mesh))
         # K steps per dispatch (host-link jitter amortizes); K must divide
         # the log/ckpt cadence AND the remaining steps so boundaries land
-        # exactly — pick the largest such divisor of the gcd, capped at 50.
+        # exactly — pick the largest such divisor of the gcd, capped at 100.
+        # Cap rationale: a single dispatch over the axon tunnel costs ~25ms
+        # round-trip (bench/decompose.py 'dispatch(empty)'), so K=100 puts
+        # the per-step dispatch share at ~0.25ms — below 12% of even the
+        # smallest config's device step time.
         g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
         if do_eval:
             g = math.gcd(g, eval_every)
-        k = max(d for d in range(1, min(g, 50) + 1)
+        k = max(d for d in range(1, min(g, 100) + 1)
                 if g % d == 0 and remaining % d == 0)
         multi_fn = make_train_step_indexed_multi(cfg, model, k)
         # DP: shard the window-id batch axis over 'data'; the gather then
@@ -359,7 +363,7 @@ def train(cfg: Config,
         g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
         if do_eval:
             g = math.gcd(g, eval_every)
-        k = max(d for d in range(1, min(g, 50) + 1)
+        k = max(d for d in range(1, min(g, 100) + 1)
                 if g % d == 0 and remaining % d == 0)
         multi_fn = make_train_step_multi(cfg, model, k, packed_x=True)
         from jax.sharding import NamedSharding, PartitionSpec
