@@ -70,7 +70,9 @@ def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
     """Jitted end-to-end sweep: (params, key, *cond) → binarized bars.
 
     Returns fn(params, key, seed_bar=None, chord=None, key_sig=None)
-    → bars [num_samples, num_bars, T, P] float32 in {0,1}.
+    → bars [num_samples, num_bars, T, P] uint8 in {0,1} (binary content;
+    uint8 keeps the stacked sweep output and its device→host transfer at
+    1/4 the float32 size — 0.8GB vs 3.2GB for the C5 1024×64-bar sweep).
 
     With ``mesh`` the sample axis is sharded over 'data' (the C5 1k-sample
     sweep on a v5e-8 slice); without it the sweep runs single-device.

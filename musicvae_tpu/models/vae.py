@@ -71,11 +71,12 @@ class BarDecoder(nn.Module):
     # -- helpers -------------------------------------------------------------
 
     def _binarize(self, logits: jax.Array) -> jax.Array:
-        """SEMANTICS.md §6 via the one canonical implementation."""
+        """SEMANTICS.md §6 via the one canonical implementation. uint8:
+        the scan stacks N bars of binary content — see binarize_logits."""
         from musicvae_tpu.midi.tensorize import pitch_mask
         from musicvae_tpu.ops.binarize import binarize_logits
         return binarize_logits(logits, self.midi.binarize_threshold,
-                               pitch_mask(self.midi))
+                               pitch_mask(self.midi), dtype=jnp.uint8)
 
     def _recur(self, h, hc, z, reset, gru_in, z_phrase):
         """Shared single-step recurrence (teacher scan AND gen step)."""
@@ -341,8 +342,11 @@ class PianoRollVAE(nn.Module):
                 z_phrase[:, None, :], (b, n, z_phrase.shape[-1]))
         dt = layers._dtype(spec.dtype)
         h = jnp.zeros((b, spec.gru_hidden), dt)
-        prev = seed_bar if seed_bar is not None else jnp.zeros(
-            (b, self.midi.steps_per_bar, self.midi.num_pitches), jnp.float32)
+        # prev-bar carry is uint8 (binary content; must match _binarize's
+        # output dtype for a well-typed scan carry)
+        prev = (seed_bar.astype(jnp.uint8) if seed_bar is not None
+                else jnp.zeros((b, self.midi.steps_per_bar,
+                                self.midi.num_pitches), jnp.uint8))
         _, (logits, bars) = self.decoder.step((h, h, prev), xs)
         return logits, bars
 

@@ -13,17 +13,22 @@ import jax.numpy as jnp
 
 
 def binarize_logits(logits: jax.Array, threshold: float = 0.5,
-                    pitch_mask: jax.Array | None = None) -> jax.Array:
-    """(sigmoid(logits) > threshold) as float32, strict >, crop-masked.
+                    pitch_mask: jax.Array | None = None,
+                    dtype: jnp.dtype = jnp.float32) -> jax.Array:
+    """(sigmoid(logits) > threshold) in {0,1} as ``dtype``, strict >,
+    crop-masked.
 
     Implemented in logit space (sigmoid is monotone): sigmoid(l) > t
     ⟺ l > logit(t), avoiding the transcendental on the hot scan path.
+    The generation scan stacks bars as uint8 (binary content — float32
+    quadruples HBM for the stacked [B,N,96,128] sweep output and the
+    device→host transfer; C5's 1024×64-bar sweep is 3.2GB f32 vs 0.8GB u8).
     """
     logit_t = jnp.log(threshold) - jnp.log1p(-threshold)
-    bar = (logits > logit_t).astype(jnp.float32)
+    keep = logits > logit_t
     if pitch_mask is not None:
-        bar = bar * pitch_mask
-    return bar
+        keep = keep & (pitch_mask > 0)
+    return keep.astype(dtype)
 
 
 def sample_bernoulli_logits(key: jax.Array, logits: jax.Array,
