@@ -200,7 +200,9 @@ def cmd_generate(args) -> int:
 
     gen = GenSpec(num_bars=args.bars, num_samples=args.samples,
                   interpolate=args.interpolate,
-                  temperature=args.temperature)
+                  temperature=args.temperature,
+                  sample_mode=args.sample_mode,
+                  sample_temperature=args.sample_temperature)
     manager = checkpoints.make_manager(args.ckpt_dir)
     if manager.latest_step() is not None:
         cfg = checkpoints.restore_config(manager).replace(gen=gen)
@@ -299,7 +301,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--bars", type=int, default=16)
     p.add_argument("--samples", type=int, default=4)
     p.add_argument("--interpolate", action="store_true")
-    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="latent-space z scale")
+    p.add_argument("--sample-mode", choices=["threshold", "bernoulli"],
+                   default="threshold",
+                   help="bar output: deterministic binarize (reference "
+                        "behavior) or stochastic per-cell Bernoulli")
+    p.add_argument("--sample-temperature", type=float, default=1.0,
+                   help="Bernoulli mode: sigmoid(logits/T) sharpening")
     p.add_argument("--chord", type=int, default=None,
                    help="conditional models: chord class 0..23 "
                         "(root*2 + minor), default random per sample")

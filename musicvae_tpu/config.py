@@ -101,7 +101,12 @@ class GenSpec:
     num_bars: int = 4                    # autoregressive generation length
     num_samples: int = 1                 # batched sweep width
     interpolate: bool = False            # slerp z_a -> z_b over num_bars
-    temperature: float = 1.0
+    temperature: float = 1.0             # latent-space z scale
+    # bar output: "threshold" = deterministic binarize at
+    # midi.binarize_threshold (reference behavior); "bernoulli" =
+    # stochastic per-cell Bernoulli(sigmoid(logits/sample_temperature))
+    sample_mode: str = "threshold"
+    sample_temperature: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,10 +155,14 @@ C2_GRU_4BAR = Config(
 
 # C3: "Hierarchical bar→phrase VAE, teacher-forced decoder, 16-bar context,
 #      batch 128"
+# remat_encoder off by default: at batch 128 x 16 bars the encoder
+# activations fit v5e HBM with room to spare, and the recompute costs
+# measured throughput (47.4 -> 50.3 steps/s without it, bench/mfu.py A/B).
+# Flip it back on for contexts that outgrow HBM.
 C3_HIER_16BAR = Config(
     name="c3_hier_16bar",
     model=ModelSpec(kind="hier", num_bars=16, z_dim=64, z_phrase_dim=256),
-    train=TrainSpec(batch_size=128, remat_encoder=True),
+    train=TrainSpec(batch_size=128, remat_encoder=False),
 )
 
 # C4: "Conditional VAE (chord/key conditioning) + binarized sampling,

@@ -79,6 +79,9 @@ def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
     """
     model = model or build_model(cfg)
     g = cfg.gen
+    if g.sample_mode not in ("threshold", "bernoulli"):
+        raise ValueError(f"unknown GenSpec.sample_mode {g.sample_mode!r}; "
+                         "expected 'threshold' or 'bernoulli'")
     batch, num_bars = g.num_samples, g.num_bars
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -87,7 +90,7 @@ def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
 
     @jax.jit
     def generate(params, key, seed_bar=None, chord=None, key_sig=None):
-        k_z, k_c, k_k, k_p = jax.random.split(key, 4)
+        k_z, k_c, k_k, k_p, k_bin = jax.random.split(key, 5)
         z_bars, reset = latent_path(k_z, cfg, batch, num_bars,
                                     g.interpolate, g.temperature)
         if mesh is not None:
@@ -105,6 +108,9 @@ def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
         if cfg.model.kind == "hier":
             z_phrase = jax.random.normal(
                 k_p, (batch, cfg.model.z_phrase_dim)) * g.temperature
+        if g.sample_mode == "bernoulli":
+            kw["bin_keys"] = jax.random.split(k_bin, num_bars)
+            kw["sample_temperature"] = g.sample_temperature
         _, bars = model.apply({"params": params}, z_bars, reset,
                               seed_bar, **kw, z_phrase=z_phrase,
                               method=model.generate)

@@ -178,7 +178,16 @@ class BarDecoder(nn.Module):
                                     jnp.concatenate(gru_parts, -1),
                                     xs.get("z_phrase"))
         logits = self.head(self._head_in(z, feat, cond, out, c))
-        bar = self._binarize(logits)
+        if "bin_key" in xs:
+            # stochastic mode (GenSpec.sample_mode "bernoulli"): per-bar
+            # PRNG key rides the scan as raw key data
+            from musicvae_tpu.midi.tensorize import pitch_mask
+            from musicvae_tpu.ops.binarize import sample_bernoulli_logits
+            bar = sample_bernoulli_logits(
+                jax.random.wrap_key_data(xs["bin_key"][0]), logits,
+                xs["bin_temp"][0], pitch_mask(self.midi), dtype=jnp.uint8)
+        else:
+            bar = self._binarize(logits)
         return (h, hc, bar), (logits, bar)
 
 
@@ -327,13 +336,21 @@ class PianoRollVAE(nn.Module):
                  chord: Optional[jax.Array] = None,
                  key_sig: Optional[jax.Array] = None,
                  z_phrase: Optional[jax.Array] = None,
+                 bin_keys: Optional[jax.Array] = None,
+                 sample_temperature: float = 1.0,
                  ) -> Tuple[jax.Array, jax.Array]:
         """z_bars: [B,N,z] per-bar latent path (sampled or interpolated);
         reset: [B,N] 1.0 where the GRU state re-initializes (phrase starts).
-        Returns (logits, bars) with bars binarized per SEMANTICS.md §6."""
+        Returns (logits, bars) with bars binarized per SEMANTICS.md §6 —
+        or, when ``bin_keys`` ([N] PRNG keys) is given, Bernoulli-sampled
+        per cell at ``sample_temperature`` (GenSpec.sample_mode)."""
         spec = self.spec
         b, n = z_bars.shape[0], z_bars.shape[1]
         xs: Dict[str, jax.Array] = {"z": z_bars, "reset": reset}
+        if bin_keys is not None:
+            xs["bin_key"] = jax.random.key_data(bin_keys)[None]  # [1,N,2]
+            xs["bin_temp"] = jnp.full((1, n), sample_temperature,
+                                      jnp.float32)
         if spec.kind == "cond":
             xs["cond"] = self.cond_vector(chord, key_sig, n)
         if spec.kind == "hier":

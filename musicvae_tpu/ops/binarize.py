@@ -33,10 +33,16 @@ def binarize_logits(logits: jax.Array, threshold: float = 0.5,
 
 def sample_bernoulli_logits(key: jax.Array, logits: jax.Array,
                             temperature: float = 1.0,
-                            pitch_mask: jax.Array | None = None) -> jax.Array:
-    """Stochastic alternative: Bernoulli(sigmoid(logits/T)) sampling."""
+                            pitch_mask: jax.Array | None = None,
+                            dtype: jnp.dtype = jnp.float32) -> jax.Array:
+    """Stochastic alternative: Bernoulli(sigmoid(logits/T)) sampling.
+
+    Generation-scan counterpart of binarize_logits (GenSpec.sample_mode
+    "bernoulli"); T sharpens (<1) or flattens (>1) the per-cell note
+    probabilities before sampling.
+    """
     probs = jax.nn.sigmoid(logits / temperature)
-    bar = jax.random.bernoulli(key, probs).astype(jnp.float32)
+    keep = jax.random.bernoulli(key, probs)
     if pitch_mask is not None:
-        bar = bar * pitch_mask
-    return bar
+        keep = keep & (pitch_mask > 0)
+    return keep.astype(dtype)

@@ -277,3 +277,35 @@ def test_single_phrase_interpolation_uses_both_endpoints():
     assert not np.allclose(np.asarray(z[:, 0]), np.asarray(z_b), atol=1e-3)
     # and all bars of the single phrase share that one z
     np.testing.assert_array_equal(np.asarray(z[:, 0]), np.asarray(z[:, 3]))
+
+
+def test_bernoulli_sample_mode(corpus):
+    """GenSpec.sample_mode='bernoulli': deterministic under a fixed key,
+    different draws under different keys, distinct from threshold mode,
+    and still zero outside the pitch crop."""
+    from musicvae_tpu.config import C2_CROPPED
+
+    cfg = tiny(cpu_friendly(C2_CROPPED)).replace(
+        gen=GenSpec(num_bars=4, num_samples=2, sample_mode="bernoulli",
+                    sample_temperature=2.0))
+    model, state, _, _ = _overfit(cfg, corpus, steps=2)
+    gen = make_generate_fn(cfg, model)
+    a = np.asarray(gen(state.params, jax.random.key(3)))
+    b = np.asarray(gen(state.params, jax.random.key(3)))
+    c = np.asarray(gen(state.params, jax.random.key(4)))
+    np.testing.assert_array_equal(a, b)          # PRNG-keyed, not wall-clock
+    assert (a != c).any()                        # actually stochastic
+    assert set(np.unique(a)) <= {0, 1}
+    assert a[..., :24].sum() == 0 and a[..., 108:].sum() == 0   # crop holds
+    thr = np.asarray(make_generate_fn(
+        cfg.replace(gen=GenSpec(num_bars=4, num_samples=2))
+    , model)(state.params, jax.random.key(3)))
+    assert (a != thr).any()                      # mode changes the output
+
+
+def test_bad_sample_mode_rejected():
+    cfg = tiny(cpu_friendly(C2_GRU_4BAR)).replace(
+        gen=GenSpec(num_bars=2, num_samples=1, sample_mode="nope"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sample_mode"):
+        make_generate_fn(cfg)
