@@ -7,10 +7,13 @@ PartitionSpecs, params (and, via zeros_like, optimizer moments) are placed
 with those shardings, and XLA partitions the jitted step and inserts the
 collectives over ICI.
 
-Default rules shard the decoder's widest layers (the deconv head dense +
-conv channel dims) over 'model'; everything unmatched stays replicated.
-Correctness (TP+DP run ≡ replicated run) is asserted in
-tests/test_parallel.py on the fake 8-device mesh.
+Default rules cover the full weight surface: the deconv head dense +
+conv/deconv channel dims, the bar-feature denses, every GRU cell's gate
+kernels/biases (seq/encoder/conductor), and the latent heads — all
+sharded on their output/hidden dim over 'model'. Embeddings and any leaf
+whose sharded dim does not divide the mesh axis stay replicated (the
+validation in param_shardings). Correctness (TP+DP run ≡ replicated run)
+is asserted in tests/test_parallel.py on the fake 8-device mesh.
 """
 
 from __future__ import annotations
@@ -30,13 +33,29 @@ DEFAULT_TP_RULES: List[Tuple[str, P]] = [
     (r"decoder/head/Dense_0/kernel$", P(None, MODEL_AXIS)),
     (r"decoder/head/Dense_0/bias$", P(MODEL_AXIS)),
     # deconv kernels (kh, kw, out, in): shard the output-channel dim
-    (r"decoder/head/ConvTranspose_[0-3]/kernel$",
+    # (the final 1-channel head falls back to replicated via validation)
+    (r"decoder/head/ConvTranspose_[0-4]/kernel$",
      P(None, None, MODEL_AXIS, None)),
-    (r"decoder/head/ConvTranspose_[0-3]/bias$", P(MODEL_AXIS)),
+    (r"decoder/head/ConvTranspose_[0-4]/bias$", P(MODEL_AXIS)),
     # bar feature extractors: conv kernels (kh, kw, in, out) on out-channels
-    (r"(enc_feat|prev_feat).*/Conv_[1-4]/kernel$",
+    # + the trunk-flatten dense
+    (r"(enc_feat|prev_feat).*/Conv_[0-4]/kernel$",
      P(None, None, None, MODEL_AXIS)),
-    (r"(enc_feat|prev_feat).*/Conv_[1-4]/bias$", P(MODEL_AXIS)),
+    (r"(enc_feat|prev_feat).*/Conv_[0-4]/bias$", P(MODEL_AXIS)),
+    (r"(enc_feat|prev_feat).*/Dense_0/kernel$", P(None, MODEL_AXIS)),
+    (r"(enc_feat|prev_feat).*/Dense_0/bias$", P(MODEL_AXIS)),
+    # GRU cells (sequence, encoder, conductor): gate kernels [in, H] and
+    # recurrent kernels [H, H] shard the hidden dim; GSPMD inserts the
+    # per-step gathers for the recurrent operand
+    (r"(seq_gru|conductor|enc_gru/GRUCell_\d+)/(ir|iz|in|hr|hz|hn)/kernel$",
+     P(None, MODEL_AXIS)),
+    (r"(seq_gru|conductor|enc_gru/GRUCell_\d+)/(ir|iz|in|hr|hz|hn)/bias$",
+     P(MODEL_AXIS)),
+    # GRU/conductor init projections and the latent heads
+    (r"(h_init|cond_init)/kernel$", P(None, MODEL_AXIS)),
+    (r"(h_init|cond_init)/bias$", P(MODEL_AXIS)),
+    (r"(z_head|phrase_head|bar_head)/Dense_0/kernel$", P(None, MODEL_AXIS)),
+    (r"(z_head|phrase_head|bar_head)/Dense_0/bias$", P(MODEL_AXIS)),
 ]
 
 

@@ -218,3 +218,45 @@ def test_initialize_explicit_args_beat_env(monkeypatch):
     assert distributed.initialize_from_env("arg:2", 2, 1) is True
     assert calls == {"addr": "arg:2", "n": 2, "pid": 1}
     monkeypatch.setattr(distributed, "_initialized", False)
+
+
+def test_tp_rules_cover_full_weight_surface():
+    """Round-2 TP widening: at full model size every weight family — head
+    dense, deconvs, conv trunks + feature denses, all GRU gate kernels,
+    init projections, latent heads — carries a 'model'-axis spec; only
+    structurally unshardable leaves (1-channel head, embeddings) remain
+    replicated."""
+    from musicvae_tpu.config import C3_HIER_16BAR
+    from musicvae_tpu.models import init_params
+    from musicvae_tpu.parallel import param_shardings
+    from musicvae_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    _, params = init_params(C3_HIER_16BAR, jax.random.key(0))
+    sh = param_shardings(params, mesh)
+
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): s.spec
+        for path, s in jax.tree_util.tree_leaves_with_path(sh)
+    }
+    sharded = {n for n, spec in flat.items() if MODEL_AXIS in str(spec)}
+    for must in (
+        "decoder/head/Dense_0/kernel",
+        "decoder/head/ConvTranspose_0/kernel",
+        "decoder/seq_gru/ir/kernel",
+        "decoder/seq_gru/hn/kernel",
+        "decoder/conductor/iz/kernel",
+        "enc_gru/GRUCell_0/hr/kernel",
+        "enc_feat/ConvTrunk_0/Conv_0/kernel",
+        "enc_feat/Dense_0/kernel",
+        "decoder/prev_feat/Dense_0/kernel",
+        "decoder/h_init/kernel",
+        "decoder/cond_init/kernel",
+        "phrase_head/Dense_0/kernel",
+        "bar_head/Dense_0/kernel",
+    ):
+        assert must in sharded, f"{must} should be model-sharded"
+    # the 1-output-channel final deconv cannot shard: validation fallback
+    assert "decoder/head/ConvTranspose_4/kernel" not in sharded
+    # >60% of all weight leaves end up sharded at full size
+    assert len(sharded) / len(flat) > 0.6
