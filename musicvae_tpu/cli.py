@@ -98,17 +98,6 @@ def cmd_train(args) -> int:
         ds = PianoRollDataset.from_corpus(
             synth_corpus(64, n_bars=32, seed=cfg.train.seed),
             cfg.midi, cfg.model.num_bars)
-    eval_ds = None
-    best_manager = None
-    if cfg.train.eval_every > 0:
-        ds, eval_ds = ds.split(cfg.train.holdout_frac, seed=cfg.train.seed)
-        best_manager = checkpoints.make_manager(
-            os.path.join(args.ckpt_dir, "best"), keep=1)
-        print(f"holdout: {len(eval_ds)} eval windows "
-              f"({len(ds)} train), eval every {cfg.train.eval_every} steps",
-              file=sys.stderr)
-    print(f"dataset: {len(ds)} windows; devices: {jax.devices()}",
-          file=sys.stderr)
     mesh = make_mesh(cfg.mesh)
     manager = checkpoints.make_manager(args.ckpt_dir, cfg.train.ckpt_keep)
     logger = MetricsLogger(args.log_dir)
@@ -124,6 +113,21 @@ def cmd_train(args) -> int:
             print(f"resumed with CLI overrides: {overrides}",
                   file=sys.stderr)
         print(f"resumed from step {manager.latest_step()}", file=sys.stderr)
+    # holdout split AFTER restore so a resumed run honors the checkpoint's
+    # eval settings: the split is deterministic in (corpus, seed), so the
+    # resumed run reproduces the original train/eval partition rather than
+    # silently disabling eval and training on the former holdout
+    eval_ds = None
+    best_manager = None
+    if cfg.train.eval_every > 0:
+        ds, eval_ds = ds.split(cfg.train.holdout_frac, seed=cfg.train.seed)
+        best_manager = checkpoints.make_manager(
+            os.path.join(args.ckpt_dir, "best"), keep=1)
+        print(f"holdout: {len(eval_ds)} eval windows "
+              f"({len(ds)} train), eval every {cfg.train.eval_every} steps",
+              file=sys.stderr)
+    print(f"dataset: {len(ds)} windows; devices: {jax.devices()}",
+          file=sys.stderr)
     _, state, metrics = train(
         cfg, ds, mesh=mesh, ckpt_manager=manager, log_fn=logger, state=state,
         eval_data=eval_ds, best_ckpt_manager=best_manager)

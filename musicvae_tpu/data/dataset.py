@@ -64,13 +64,21 @@ class PianoRollDataset:
         piece_ids: List[int] = []
         offset = 0
         for pid, (bars, (_, chord, key)) in enumerate(zip(all_bars, pieces)):
+            # per-bar histograms once per piece; overlapping windows then
+            # score from a [num_bars,12] sum instead of re-histogramming
+            # the full [num_bars*T,128] roll per window (~num_bars x less
+            # work on stride-1 windows)
+            hists = (labels_mod.bar_pc_histograms(bars)
+                     if infer_labels and (key is None or chord is None)
+                     else None)
             if key is None:
-                key = labels_mod.estimate_key(bars) if infer_labels else 0
+                key = (labels_mod.key_from_hist(hists.sum(0))
+                       if infer_labels else 0)
             n = bars.shape[0]
             for s in range(0, n - num_bars + 1):
                 if chord is None:
-                    c = (labels_mod.estimate_chord(bars[s:s + num_bars],
-                                                   fallback=key)
+                    c = (labels_mod.chord_from_hist(
+                            hists[s:s + num_bars].sum(0), fallback=key)
                          if infer_labels else 0)
                 else:
                     c = chord

@@ -11,12 +11,17 @@ tensorized bar rolls (uint8 [n_bars, T, 128]) during preprocessing:
   correlated against the 24 rotated K-S major/minor profiles (Krumhansl
   1990, public profile constants), argmax.
 - chord: duration-weighted triad template match per window — 24 templates
-  (root major {0,4,7} / minor {0,3,7}), scored as in-triad mass minus a
-  penalty on out-of-triad mass so dense textures don't saturate all
-  templates equally.
+  (root major {0,4,7} / minor {0,3,7}) with ROLE WEIGHTS (root 1.5,
+  third/fifth 1.0): the root emphasis is what separates relative
+  major/minor (C:{0,4,7} vs Am:{9,0,4} share two pitch classes; a flat
+  in-triad-mass score cannot rank them when the shared classes dominate).
 
 Both are deterministic pure-numpy functions of the roll; an explicit
-sidecar label file always wins (cli.py --labels).
+sidecar label file always wins (cli.py --labels). For corpus-scale
+inference over overlapping windows, precompute per-bar histograms once
+(``bar_pc_histograms``) and score windows via ``*_from_hist`` — summing
+num_bars 12-vectors per window instead of re-histogramming the whole
+[num_bars*T, 128] roll.
 """
 
 from __future__ import annotations
@@ -32,6 +37,11 @@ KS_MINOR = np.array([6.33, 2.68, 3.52, 5.38, 2.60, 3.53,
 _TRIAD_OFFSETS = (np.array([0, 4, 7]), np.array([0, 3, 7]))  # major, minor
 
 
+# role weights (root, third, fifth): root emphasis breaks the
+# relative-major/minor tie — see module docstring
+_TRIAD_WEIGHTS = np.array([1.5, 1.0, 1.0])
+
+
 def pc_histogram(roll: np.ndarray) -> np.ndarray:
     """Duration-weighted pitch-class histogram of a roll.
 
@@ -42,9 +52,21 @@ def pc_histogram(roll: np.ndarray) -> np.ndarray:
     return np.bincount(np.arange(128) % 12, weights=per_pitch, minlength=12)
 
 
-def estimate_key(roll: np.ndarray) -> int:
-    """K-S key class in [0, 24) (root*2 + minor); 0 (C major) if silent."""
-    hist = pc_histogram(roll)
+def bar_pc_histograms(bars: np.ndarray) -> np.ndarray:
+    """Per-bar pitch-class histograms: [n, T, 128] → [n, 12].
+
+    The precompute for corpus-scale window labeling: window s..s+k scores
+    from ``hists[s:s+k].sum(0)`` instead of re-histogramming the roll.
+    """
+    per_pitch = np.asarray(bars, dtype=np.float64).sum(axis=-2)   # [n, 128]
+    out = np.zeros((*per_pitch.shape[:-1], 12))
+    for pc in range(12):
+        out[..., pc] = per_pitch[..., pc::12].sum(-1)
+    return out
+
+
+def key_from_hist(hist: np.ndarray) -> int:
+    """K-S key class in [0, 24) from a 12-bin histogram; 0 if silent."""
     if hist.sum() <= 0:
         return 0
     scores = np.empty(24)
@@ -55,23 +77,32 @@ def estimate_key(roll: np.ndarray) -> int:
     return int(np.argmax(scores))
 
 
-def estimate_chord(roll: np.ndarray, fallback: int = 0) -> int:
-    """Best-matching triad class in [0, 24) for one window's roll.
+def chord_from_hist(hist: np.ndarray, fallback: int = 0) -> int:
+    """Best triad class in [0, 24) from a 12-bin histogram.
 
-    Score = in-triad pitch-class mass − 0.5 * out-of-triad mass (the
-    penalty separates C major from A minor when the 6th degree sounds).
+    Score = role-weighted in-triad mass (root 1.5, third/fifth 1.0);
+    the root weight makes relative major/minor separable (a symmetric
+    in-triad sum cannot rank C vs Am when their shared {0,4} dominate).
     Returns ``fallback`` (typically the piece key) for silent windows.
     """
-    hist = pc_histogram(roll)
-    total = hist.sum()
-    if total <= 0:
+    if hist.sum() <= 0:
         return int(fallback)
     scores = np.empty(24)
     for root in range(12):
         for minor, offs in enumerate(_TRIAD_OFFSETS):
-            in_triad = hist[(root + offs) % 12].sum()
-            scores[root * 2 + minor] = in_triad - 0.5 * (total - in_triad)
+            scores[root * 2 + minor] = (
+                _TRIAD_WEIGHTS * hist[(root + offs) % 12]).sum()
     return int(np.argmax(scores))
+
+
+def estimate_key(roll: np.ndarray) -> int:
+    """K-S key class in [0, 24) (root*2 + minor); 0 (C major) if silent."""
+    return key_from_hist(pc_histogram(roll))
+
+
+def estimate_chord(roll: np.ndarray, fallback: int = 0) -> int:
+    """Best-matching triad class in [0, 24) for one window's roll."""
+    return chord_from_hist(pc_histogram(roll), fallback)
 
 
 def _pearson(a: np.ndarray, b: np.ndarray) -> float:

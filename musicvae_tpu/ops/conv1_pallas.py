@@ -177,11 +177,13 @@ def _first_conv_s2(x, w, b, gelu: bool, out_dtype):
 
 def _first_conv_fwd(x, w, b, gelu, out_dtype):
     y = _first_conv_s2(x, w, b, gelu, out_dtype)
-    return y, (x, w, b, y)
+    # residuals exclude y: the backward recomputes the pre-activation (it
+    # needs z, not gelu(z)), so saving y would only pin a dead activation
+    return y, (x, w, b)
 
 
 def _first_conv_bwd(gelu, out_dtype, res, dy):
-    x, w, b, y = res
+    x, w, b = res
     c = w.shape[-1]
     dy = dy.reshape(dy.shape[0], T_OUT, P_OUT * c).astype(jnp.float32)
     if gelu:

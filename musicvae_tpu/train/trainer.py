@@ -290,7 +290,23 @@ def train(cfg: Config,
             len(eval_data)).astype(np.int32)
         n_eval_batches = min(cfg.train.eval_batches,
                              max(1, len(eval_data) // eb))
+        # resume-safe best tracking: the best eval loss so far persists in
+        # a sidecar next to the best checkpoint, so a resumed run cannot
+        # overwrite a better earlier state with its own first (worse) eval
         best_eval_loss = float("inf")
+        best_metric_path = None
+        if best_ckpt_manager is not None:
+            import json as _json
+            import os as _os
+            best_metric_path = _os.path.join(
+                str(best_ckpt_manager.directory), "best_metric.json")
+            if _os.path.exists(best_metric_path):
+                try:
+                    with open(best_metric_path) as f:
+                        best_eval_loss = float(
+                            _json.load(f)["eval_loss"])
+                except (OSError, ValueError, KeyError):
+                    pass   # unreadable sidecar: fall back to fresh best
 
         def run_eval(cur_state) -> Dict[str, float]:
             acc: Dict[str, list] = {}
@@ -305,6 +321,19 @@ def train(cfg: Config,
             return {"eval_" + mk: sum(mv) / len(mv)
                     for mk, mv in acc.items()}
 
+    # K steps per dispatch (host-link jitter amortizes); K must divide
+    # the log/ckpt/eval cadence AND the remaining steps so boundaries land
+    # exactly — pick the largest such divisor of the gcd, capped at 100.
+    # Cap rationale: a single dispatch over the axon tunnel costs ~25ms
+    # round-trip (bench/decompose.py 'dispatch(empty)'), so K=100 puts
+    # the per-step dispatch share at ~0.25ms — below 12% of even the
+    # smallest config's device step time.
+    g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
+    if do_eval:
+        g = math.gcd(g, eval_every)
+    k = max(d for d in range(1, min(g, 100) + 1)
+            if g % d == 0 and remaining % d == 0)
+
     resident = hasattr(data, "bars")
     if resident:
         arrays = {"bars": data.bars, "starts": data.starts}
@@ -315,18 +344,6 @@ def train(cfg: Config,
         # the same cache and uploads only its own devices' (replicated)
         # shards — the multi-host data path (SURVEY §2.2 comm backend row)
         data_dev = pmesh.put_tree(arrays, pmesh.replicated(mesh))
-        # K steps per dispatch (host-link jitter amortizes); K must divide
-        # the log/ckpt cadence AND the remaining steps so boundaries land
-        # exactly — pick the largest such divisor of the gcd, capped at 100.
-        # Cap rationale: a single dispatch over the axon tunnel costs ~25ms
-        # round-trip (bench/decompose.py 'dispatch(empty)'), so K=100 puts
-        # the per-step dispatch share at ~0.25ms — below 12% of even the
-        # smallest config's device step time.
-        g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
-        if do_eval:
-            g = math.gcd(g, eval_every)
-        k = max(d for d in range(1, min(g, 100) + 1)
-                if g % d == 0 and remaining % d == 0)
         multi_fn = make_train_step_indexed_multi(cfg, model, k)
         # DP: shard the window-id batch axis over 'data'; the gather then
         # yields a batch sharded on 'data' and XLA psums the grads.
@@ -360,11 +377,6 @@ def train(cfg: Config,
         import queue
         import threading
 
-        g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
-        if do_eval:
-            g = math.gcd(g, eval_every)
-        k = max(d for d in range(1, min(g, 100) + 1)
-                if g % d == 0 and remaining % d == 0)
         multi_fn = make_train_step_multi(cfg, model, k, packed_x=True)
         from jax.sharding import NamedSharding, PartitionSpec
         from musicvae_tpu.ops.pack import pack_bits_np
@@ -374,12 +386,23 @@ def train(cfg: Config,
         batch_q: "queue.Queue" = queue.Queue(maxsize=2)
 
         def _producer():
-            for _ in range(n_dispatch):
-                host = [next(data) for _ in range(k)]
-                stacked = jax.tree.map(lambda *xs: np.stack(xs), *host)
-                # rolls are binary: ship 1 bit/cell, unpack on device
-                stacked["x_packed"] = pack_bits_np(stacked.pop("x"))
-                batch_q.put(pmesh.put_tree(stacked, stacked_sharding))
+            # any failure (incl. an exhausted finite iterator) must reach
+            # the training loop — a dead daemon thread would otherwise
+            # leave batch_q.get() blocked forever
+            try:
+                for _ in range(n_dispatch):
+                    host = [next(data) for _ in range(k)]
+                    stacked = jax.tree.map(lambda *xs: np.stack(xs), *host)
+                    # rolls are binary: ship 1 bit/cell, unpack on device
+                    stacked["x_packed"] = pack_bits_np(stacked.pop("x"))
+                    batch_q.put(pmesh.put_tree(stacked, stacked_sharding))
+            except StopIteration:
+                batch_q.put(RuntimeError(
+                    f"streaming data iterator exhausted before "
+                    f"{n_dispatch * k} steps; supply an infinite iterator "
+                    f"or fewer num_steps"))
+            except BaseException as e:          # noqa: BLE001
+                batch_q.put(e)
 
         threading.Thread(target=_producer, daemon=True,
                          name="mvae-prefetch").start()
@@ -396,7 +419,10 @@ def train(cfg: Config,
             state, metrics = multi_fn(state, data_dev, idxs)
             step += k
         else:
-            state, metrics = multi_fn(state, batch_q.get())
+            item = batch_q.get()
+            if isinstance(item, BaseException):
+                raise item
+            state, metrics = multi_fn(state, item)
             step += k
         if log_fn is not None and step % cfg.train.log_every == 0:
             log_fn(step, jax.device_get(metrics))
@@ -409,6 +435,11 @@ def train(cfg: Config,
                 best_eval_loss = eval_metrics["eval_loss"]
                 from musicvae_tpu.checkpoints import io as ckpt_io
                 ckpt_io.save(best_ckpt_manager, state, cfg)
+                if best_metric_path is not None:
+                    import json as _json
+                    with open(best_metric_path, "w") as f:
+                        _json.dump({"eval_loss": best_eval_loss,
+                                    "step": step}, f)
         if ckpt_manager is not None and step % cfg.train.ckpt_every == 0:
             from musicvae_tpu.checkpoints import io as ckpt_io
             ckpt_io.save(ckpt_manager, state, cfg)

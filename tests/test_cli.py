@@ -56,3 +56,30 @@ def test_train_beta_schedule_flags(tmp_path):
                  "--beta-cycle-steps", "50",
                  "--ckpt-dir", str(tmp_path / "c"),
                  "--log-dir", str(tmp_path / "l")]) == 0
+
+
+def test_resume_keeps_eval_holdout(tmp_path, capsys):
+    """`train --resume` (no eval flags) must honor the checkpoint's eval
+    settings: the holdout split happens AFTER config restore, so the
+    resumed run keeps evaluating and never trains on the former holdout
+    (review finding: the split was decided from the pre-restore config,
+    silently disabling eval on resume)."""
+    out = str(tmp_path / "d.npz")
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--synthetic-pieces", "6", "--out", out]) == 0
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "2", "--eval-every", "2", "--eval-batches", "1",
+                 "--ckpt-dir", str(tmp_path / "c"),
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    err1 = capsys.readouterr().err
+    assert "holdout:" in err1
+    n_train_1 = [l for l in err1.splitlines() if l.startswith("dataset:")]
+    # resume WITHOUT eval flags: checkpoint config must re-enable the split
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--resume", "--steps", "4",
+                 "--ckpt-dir", str(tmp_path / "c"),
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    err2 = capsys.readouterr().err
+    assert "holdout:" in err2, "resume dropped the eval holdout"
+    n_train_2 = [l for l in err2.splitlines() if l.startswith("dataset:")]
+    assert n_train_1 == n_train_2, "train/eval partition changed on resume"

@@ -107,3 +107,65 @@ def test_resume_is_noop_when_finished(ds):
     # and extending num_steps continues from the restored step
     _, state3, _ = train(cfg, ds, num_steps=6, state=state2)
     assert int(state3.step) == 6
+
+
+def test_best_checkpoint_survives_resume(tmp_path, ds):
+    """A resumed train() must not overwrite the best checkpoint with a
+    worse state: the best eval loss persists in a sidecar next to the
+    best checkpoint (review finding: best_eval_loss reset to +inf on
+    every train() call)."""
+    import json
+
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.train import train
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR, num_steps=20, log_every=10,
+                            ckpt_every=20, eval_every=10, eval_batches=2,
+                            learning_rate=2e-3))
+    tr, ev = ds.split(0.34, seed=0)
+    best = checkpoints.make_manager(str(tmp_path / "best"), 1)
+    _, state, _ = train(cfg, tr, eval_data=ev, best_ckpt_manager=best)
+    best.wait_until_finished()
+    sidecar = tmp_path / "best" / "best_metric.json"
+    assert sidecar.exists()
+    recorded = json.loads(sidecar.read_text())["eval_loss"]
+
+    # fake an earlier, much better best: a resumed run's first eval must
+    # NOT beat it
+    sidecar.write_text(json.dumps({"eval_loss": recorded - 1e9,
+                                   "step": 1}))
+    prev_best_step = best.latest_step()
+    _, state2, _ = train(cfg, tr, num_steps=40, state=state,
+                         eval_data=ev, best_ckpt_manager=best)
+    best.wait_until_finished()
+    assert best.latest_step() == prev_best_step, (
+        "resume overwrote a better best checkpoint")
+    assert json.loads(sidecar.read_text())["eval_loss"] == recorded - 1e9
+
+
+def test_streaming_iterator_errors_propagate(ds):
+    """A failing/finite streaming iterator must raise in train(), not
+    silently kill the producer thread and hang batch_q.get() forever."""
+    import numpy as np
+    import pytest as _pytest
+
+    from musicvae_tpu.train import train
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR, num_steps=8, log_every=2,
+                            ckpt_every=8))
+
+    def finite_iter(n):
+        for _ in range(n):
+            yield {"x": np.zeros((cfg.train.batch_size, 1, 96, 128),
+                                 np.float32)}
+
+    with _pytest.raises(RuntimeError, match="exhausted"):
+        train(cfg, iter(finite_iter(2)))
+
+    def poison_iter():
+        yield {"x": np.zeros((cfg.train.batch_size, 1, 96, 128),
+                             np.float32)}
+        raise OSError("disk gone")
+
+    with _pytest.raises(OSError, match="disk gone"):
+        train(cfg, iter(poison_iter()))

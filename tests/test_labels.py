@@ -120,3 +120,33 @@ def test_preprocess_cli_no_infer_flag(tmp_path):
     assert rc == 0
     ds = PianoRollDataset.load_npy(out)
     assert (ds.chords == 0).all() and (ds.keys == 0).all()
+
+
+def test_chord_root_weight_separates_relative_major_minor():
+    """C:{0,4,7} and Am:{9,0,4} share {0,4}; when the shared classes carry
+    most of the mass, a symmetric in-triad sum ties and only the root
+    weighting can rank them (review finding: the old out-of-triad penalty
+    was affine in in-triad mass, hence inert)."""
+    hist = np.zeros(12)
+    hist[[0, 4]] = 10.0          # heavy shared mass
+    hist[7] = 2.0                # some G
+    hist[9] = 2.0                # same amount of A
+    # in-triad mass is IDENTICAL (22) for C major and A minor here; the
+    # root weight on pc 0 (C) vs pc 9 (A) must break the tie toward C
+    assert labels.chord_from_hist(hist) == 0
+    # flip the emphasis: A-rooted mass dominates → A minor
+    hist2 = np.zeros(12)
+    hist2[9] = 10.0
+    hist2[[0, 4]] = 5.0
+    assert labels.chord_from_hist(hist2) == 19
+
+
+def test_bar_histograms_match_full_histogram():
+    rng = np.random.default_rng(0)
+    bars = (rng.random((5, 96, 128)) < 0.07).astype(np.uint8)
+    hists = labels.bar_pc_histograms(bars)
+    assert hists.shape == (5, 12)
+    np.testing.assert_allclose(hists.sum(0), labels.pc_histogram(bars))
+    for s in range(3):
+        np.testing.assert_allclose(
+            hists[s:s + 2].sum(0), labels.pc_histogram(bars[s:s + 2]))

@@ -235,9 +235,16 @@ def test_cond_generation_keys_independent_of_chords():
     bars = gen(params, jax.random.key(42))
     assert bars.shape == (8, 4, 96, 128)
     # regression for key reuse: chord and key draws came from one key and
-    # key_sig equalled chord.ravel()[:batch]; recompute the draws the way
-    # generate does and assert they differ
-    k_z, k_c, k_k, k_p = jax.random.split(jax.random.key(42), 4)
+    # key_sig equalled chord.ravel()[:batch]; recompute the draws EXACTLY
+    # the way generate does (same split arity — keep in sync with
+    # sampler.make_generate_fn) and assert they differ
+    import inspect
+
+    from musicvae_tpu.generate import sampler as sampler_mod
+    src = inspect.getsource(sampler_mod.make_generate_fn)
+    assert "jax.random.split(key, 5)" in src, (
+        "generate's key split changed; update this test's derivation")
+    k_z, k_c, k_k, k_p, k_bin = jax.random.split(jax.random.key(42), 5)
     chord = jax.random.randint(k_c, (8, 4), 0, 24)
     key_sig = jax.random.randint(k_k, (8,), 0, 24)
     assert not np.array_equal(np.asarray(key_sig),
