@@ -105,6 +105,16 @@ def restore(manager: ocp.CheckpointManager, abstract_state,
             print(f"warning: checkpoint step {s} failed to restore "
                   f"({type(e).__name__}); falling back to an earlier step",
                   file=sys.stderr)
+            # deregister the damaged step: Orbax refuses to save at a step
+            # <= latest_step, so leaving it registered would silently DROP
+            # every future save up to s — the resumed run would re-train
+            # and persist nothing
+            try:
+                manager.delete(s)
+            except Exception as de:
+                print(f"warning: could not delete corrupt step {s} "
+                      f"({type(de).__name__}); saves at steps <= {s} may "
+                      f"be skipped", file=sys.stderr)
             continue
         cfg = config_from_json(json.dumps(restored["config"]))
         return restored["state"], cfg

@@ -112,7 +112,10 @@ def cmd_train(args) -> int:
                                                         **overrides))
             print(f"resumed with CLI overrides: {overrides}",
                   file=sys.stderr)
-        print(f"resumed from step {manager.latest_step()}", file=sys.stderr)
+        # report the step actually restored — after a corrupt-latest
+        # fallback this differs from what latest_step() claimed pre-restore
+        print(f"resumed from step {int(jax.device_get(state.step))}",
+              file=sys.stderr)
     # holdout split AFTER restore so a resumed run honors the checkpoint's
     # eval settings: the split is deterministic in (corpus, seed), so the
     # resumed run reproduces the original train/eval partition rather than

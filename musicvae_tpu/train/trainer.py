@@ -292,7 +292,11 @@ def train(cfg: Config,
                              max(1, len(eval_data) // eb))
         # resume-safe best tracking: the best eval loss so far persists in
         # a sidecar next to the best checkpoint, so a resumed run cannot
-        # overwrite a better earlier state with its own first (worse) eval
+        # overwrite a better earlier state with its own first (worse) eval.
+        # (Orbax's CheckpointManagerOptions(best_fn=..., best_mode='min')
+        # + save(metrics=...) is the native alternative; the sidecar keeps
+        # the best-manager construction identical to the step manager's
+        # and the compare logic explicit/testable.)
         best_eval_loss = float("inf")
         best_metric_path = None
         if best_ckpt_manager is not None:
@@ -331,8 +335,11 @@ def train(cfg: Config,
     g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
     if do_eval:
         g = math.gcd(g, eval_every)
+    # k must also divide start_step: boundaries are ABSOLUTE step numbers
+    # (step % log_every == 0), so a resumed run visiting start_step + i*k
+    # with k ∤ start_step would skip every log/ckpt/eval boundary
     k = max(d for d in range(1, min(g, 100) + 1)
-            if g % d == 0 and remaining % d == 0)
+            if g % d == 0 and remaining % d == 0 and start_step % d == 0)
 
     resident = hasattr(data, "bars")
     if resident:
@@ -362,6 +369,12 @@ def train(cfg: Config,
                 for i in range(0, n - b + 1, b):
                     yield perm[i:i + b]
         idx_iter = batches()
+        # resume continues the DATA schedule, not just the step counter:
+        # fast-forward past the id-vectors the original run consumed, so
+        # a crash-resumed run trains the same batch sequence a continuous
+        # run would (equivalence tested in test_eval_training.py)
+        for _ in range(start_step):
+            next(idx_iter)
     else:
         # STREAMING path (corpora larger than HBM): K-step scan over
         # stacked host batches, double-buffered — a producer thread packs
@@ -393,8 +406,17 @@ def train(cfg: Config,
                 for _ in range(n_dispatch):
                     host = [next(data) for _ in range(k)]
                     stacked = jax.tree.map(lambda *xs: np.stack(xs), *host)
-                    # rolls are binary: ship 1 bit/cell, unpack on device
-                    stacked["x_packed"] = pack_bits_np(stacked.pop("x"))
+                    # rolls are binary: ship 1 bit/cell, unpack on device.
+                    # Non-binary values would be silently collapsed by the
+                    # pack — reject them loudly (the round-1 iterator path
+                    # shipped x unchanged).
+                    xv = stacked.pop("x")
+                    if not (((xv == 0) | (xv == 1)).all()):
+                        raise ValueError(
+                            "streaming batches must carry binary rolls "
+                            "(x ∈ {0,1}); got non-binary values, which "
+                            "bit-packing would corrupt")
+                    stacked["x_packed"] = pack_bits_np(xv)
                     batch_q.put(pmesh.put_tree(stacked, stacked_sharding))
             except StopIteration:
                 batch_q.put(RuntimeError(

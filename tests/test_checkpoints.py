@@ -5,6 +5,7 @@ roundtrip, and exact resume (restored training continues bit-identically).
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -164,3 +165,29 @@ def test_restore_missing_raises(tmp_path):
     mgr = checkpoints.make_manager(str(tmp_path / "empty"))
     with pytest.raises(FileNotFoundError):
         checkpoints.restore(mgr, template)
+
+
+def test_corrupt_step_deleted_so_resave_persists(tmp_path):
+    """After a corrupt-latest fallback the damaged step must be
+    DEREGISTERED: Orbax refuses saves at steps <= latest_step, so leaving
+    it listed would silently drop every re-save of the re-trained steps
+    (review finding, repro'd: re-save returned without writing and the
+    next restore fell back again — losing the same work every cycle)."""
+    import shutil
+
+    cfg = tiny(C1_CONV_BAR)
+    ckpt_dir, states = _two_step_run(tmp_path, cfg)
+    shutil.rmtree(f"{ckpt_dir}/2/state")
+
+    mgr = checkpoints.make_manager(ckpt_dir, keep=3)
+    _, template = create_state(cfg)
+    restored, rcfg = checkpoints.restore(mgr, template)
+    assert int(restored.step) == 1
+    assert 2 not in mgr.all_steps(), "corrupt step still registered"
+
+    # re-train to step 2 (simulated) and save again: must actually persist
+    resaved = restored.replace(step=jnp.asarray(2, jnp.int32))
+    checkpoints.save(mgr, resaved, rcfg, wait=True)
+    mgr2 = checkpoints.make_manager(ckpt_dir, keep=3)
+    re2, _ = checkpoints.restore(mgr2, template)
+    assert int(re2.step) == 2, "re-save after fallback was dropped"

@@ -169,3 +169,49 @@ def test_streaming_iterator_errors_propagate(ds):
 
     with _pytest.raises(OSError, match="disk gone"):
         train(cfg, iter(poison_iter()))
+
+
+def test_resume_matches_continuous_run_exactly(ds):
+    """Crash-resume is EXACT: training 0→N in one run equals training
+    0→M then resuming M→N — same batch schedule (the id stream
+    fast-forwards past start_step) and aligned K boundaries (k divides
+    start_step). Review findings: a resumed run previously replayed the
+    schedule from 0 and, with k ∤ start_step, skipped every log/ckpt
+    boundary."""
+    import jax as _jax
+
+    from musicvae_tpu.train import train
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR, num_steps=6, log_every=2,
+                            ckpt_every=6))
+    _, cont, _ = train(cfg, ds)                       # continuous 0→6
+    _, half, _ = train(cfg, ds, num_steps=3)          # 0→3
+    logged = []
+    _, resumed, _ = train(cfg, ds, num_steps=6, state=half,
+                          log_fn=lambda s, m: logged.append(s))
+    assert int(resumed.step) == 6
+    # boundaries fire on the resumed leg (start_step=3 forces k=1 here)
+    assert logged == [4, 6]
+    for a, b in zip(_jax.tree.leaves(cont.params),
+                    _jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_streaming_rejects_non_binary_rolls(ds):
+    """Bit-packing would silently collapse non-binary values to 1; the
+    producer must reject them instead (round-1 shipped x unchanged)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from musicvae_tpu.train import train
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR, num_steps=4, log_every=2,
+                            ckpt_every=4))
+
+    def soft_iter():
+        while True:
+            yield {"x": np.full((cfg.train.batch_size, 1, 96, 128), 0.5,
+                                np.float32)}
+
+    with _pytest.raises(ValueError, match="binary"):
+        train(cfg, soft_iter())
