@@ -1,8 +1,12 @@
-"""CLI entry points (SURVEY §1 L6): preprocess / train / generate.
+"""CLI entry points (SURVEY §1 L6): preprocess / train / eval / generate /
+serve.
 
 Reference: `python train.py`, `python generate.py` scripts with a config
 module. Rebuild: `python -m musicvae_tpu <cmd> --config c2_gru_4bar`
-(SURVEY §5.6), configs are the frozen C1–C5 dataclasses.
+(SURVEY §5.6), configs are the frozen C1–C5 dataclasses. ``serve`` is the
+production-serving surface the reference lacks: load + compile ONCE, then
+answer generation requests over line-delimited JSON with no per-request
+recompiles or reloads.
 """
 
 from __future__ import annotations
@@ -255,6 +259,92 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Persistent generation service over line-delimited JSON.
+
+    Protocol (one JSON object per line on stdin → one per line on stdout):
+      request:  {"id": any, "seed": int, "chord": int?, "key": int?}
+      response: {"id": any, "midi_b64": [str, ...], "density": float}
+      error:    {"id": any, "error": str}
+    EOF on stdin ends the service. The generation program compiles once at
+    startup for the fixed (--samples, --bars) shape; every request is then
+    a single on-device sweep + MIDI export — the serving path the
+    reference's script-per-run workflow cannot offer. Logs go to stderr;
+    stdout carries only protocol lines.
+    """
+    import base64
+    import dataclasses
+    import json
+    import time
+
+    import jax
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.config import GenSpec, get_config
+    from musicvae_tpu.generate import bars_to_midi, make_generate_fn
+    from musicvae_tpu.train import create_state
+
+    gen_spec = GenSpec(num_bars=args.bars, num_samples=args.samples,
+                       interpolate=args.interpolate,
+                       sample_mode=args.sample_mode,
+                       sample_temperature=args.sample_temperature)
+    manager = checkpoints.make_manager(args.ckpt_dir)
+    if manager.latest_step() is None:
+        print(f"error: no checkpoint in {args.ckpt_dir}; serve needs a "
+              f"trained model", file=sys.stderr)
+        return 2
+    cfg = checkpoints.restore_config(manager).replace(gen=gen_spec)
+    model, state = create_state(cfg)
+    state, _ = checkpoints.restore(manager, state)
+    from musicvae_tpu.parallel import make_mesh, replicated
+    mesh = make_mesh(cfg.mesh)
+    params = jax.device_put(state.params, replicated(mesh))
+    gen = make_generate_fn(cfg, model, mesh=mesh)
+
+    t0 = time.perf_counter()
+    warm = gen(params, jax.random.key(0))
+    float(np.asarray(warm).sum())           # fence: compile finishes here
+    print(f"serving {cfg.name} (step {int(jax.device_get(state.step))}): "
+          f"{args.samples}x{args.bars} bars/request, compiled in "
+          f"{time.perf_counter() - t0:.1f}s; reading JSON lines on stdin",
+          file=sys.stderr)
+
+    served = 0
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        rid = None
+        try:
+            req = json.loads(line)
+            rid = req.get("id")
+            kw = {}
+            if cfg.model.kind == "cond":
+                import jax.numpy as jnp
+                b, n = cfg.gen.num_samples, cfg.gen.num_bars
+                if req.get("chord") is not None:
+                    c = int(req["chord"])
+                    if not 0 <= c < cfg.model.cond_chord_classes:
+                        raise ValueError(f"chord {c} out of range")
+                    kw["chord"] = jnp.full((b, n), c, jnp.int32)
+                if req.get("key") is not None:
+                    kv = int(req["key"])
+                    if not 0 <= kv < cfg.model.cond_key_classes:
+                        raise ValueError(f"key {kv} out of range")
+                    kw["key_sig"] = jnp.full((b,), kv, jnp.int32)
+            bars = np.asarray(gen(params, jax.random.key(int(
+                req.get("seed", served))), **kw))
+            midis = [base64.b64encode(bars_to_midi(bars[i], cfg)).decode()
+                     for i in range(bars.shape[0])]
+            print(json.dumps({"id": rid, "midi_b64": midis,
+                              "density": float(bars.mean())}), flush=True)
+            served += 1
+        except Exception as e:              # protocol errors stay in-band
+            print(json.dumps({"id": rid, "error": f"{type(e).__name__}: "
+                                                  f"{e}"}), flush=True)
+    print(f"served {served} requests", file=sys.stderr)
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="musicvae_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -327,9 +417,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--write-midis", type=int, default=8)
     p.set_defaults(fn=cmd_generate)
 
+    p = sub.add_parser("serve", help="persistent generation service "
+                                     "(JSON lines on stdin/stdout)")
+    _add_common(p)
+    p.add_argument("--bars", type=int, default=16)
+    p.add_argument("--samples", type=int, default=4)
+    p.add_argument("--interpolate", action="store_true")
+    p.add_argument("--sample-mode", choices=["threshold", "bernoulli"],
+                   default="threshold")
+    p.add_argument("--sample-temperature", type=float, default=1.0)
+    p.set_defaults(fn=cmd_serve)
+
     args = parser.parse_args(argv)
     _enable_compile_cache()
-    if args.cmd in ("train", "eval", "generate"):
+    if args.cmd in ("train", "eval", "generate", "serve"):
         # backend-using subcommands only: preprocess is host-side and must
         # not block on a multi-host coordinator barrier
         from musicvae_tpu.parallel import initialize_from_env

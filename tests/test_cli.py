@@ -83,3 +83,47 @@ def test_resume_keeps_eval_holdout(tmp_path, capsys):
     assert "holdout:" in err2, "resume dropped the eval holdout"
     n_train_2 = [l for l in err2.splitlines() if l.startswith("dataset:")]
     assert n_train_1 == n_train_2, "train/eval partition changed on resume"
+
+
+def test_serve_json_protocol(tmp_path, capsys, monkeypatch):
+    """`serve` loads+compiles once and answers JSON-line requests: valid
+    requests return base64 MIDI per sample, deterministic per seed;
+    malformed requests get in-band errors without killing the service."""
+    import base64
+    import io
+    import json
+
+    out = str(tmp_path / "d.npz")
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--synthetic-pieces", "2", "--out", out]) == 0
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "2", "--ckpt-dir", str(tmp_path / "c"),
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    capsys.readouterr()
+
+    requests = "\n".join([
+        json.dumps({"id": 1, "seed": 7}),
+        json.dumps({"id": 2, "seed": 7}),       # same seed → same MIDI
+        "this is not json",
+        json.dumps({"id": 3, "seed": 8}),
+    ]) + "\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(requests))
+    assert main(["serve", "--config", "c1_conv_bar",
+                 "--ckpt-dir", str(tmp_path / "c"),
+                 "--bars", "2", "--samples", "2"]) == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 4
+    by_id = {l.get("id"): l for l in lines}
+    assert len(by_id[1]["midi_b64"]) == 2
+    # valid SMF bytes and seed-deterministic
+    assert base64.b64decode(by_id[1]["midi_b64"][0])[:4] == b"MThd"
+    assert by_id[1]["midi_b64"] == by_id[2]["midi_b64"]
+    assert "error" in by_id[None]
+    assert by_id[3]["midi_b64"] != by_id[1]["midi_b64"] or \
+        by_id[3]["density"] == by_id[1]["density"] == 0.0
+
+    # no checkpoint → clean error exit
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    assert main(["serve", "--config", "c1_conv_bar",
+                 "--ckpt-dir", str(tmp_path / "nope")]) == 2
