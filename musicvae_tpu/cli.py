@@ -273,13 +273,12 @@ def cmd_serve(args) -> int:
     stdout carries only protocol lines.
     """
     import base64
-    import dataclasses
     import json
     import time
 
     import jax
     from musicvae_tpu import checkpoints
-    from musicvae_tpu.config import GenSpec, get_config
+    from musicvae_tpu.config import GenSpec
     from musicvae_tpu.generate import bars_to_midi, make_generate_fn
     from musicvae_tpu.train import create_state
 
