@@ -60,13 +60,33 @@ def save(manager: ocp.CheckpointManager, state, cfg: config_lib.Config,
 
 def restore_config(manager: ocp.CheckpointManager,
                    step: Optional[int] = None) -> config_lib.Config:
-    """Read only the Config stored in a checkpoint (cheap: JSON item)."""
-    step = step if step is not None else manager.latest_step()
-    if step is None:
+    """Read only the Config stored in a checkpoint (cheap: JSON item).
+
+    Like restore(), an unspecified ``step`` skips damaged steps
+    (newest-first) instead of dying on a corrupt latest — eval/generate/
+    serve must survive the same interrupted-save damage resume survives.
+    An explicit ``step`` is strict.
+    """
+    if step is not None:
+        steps = [step]
+    else:
+        steps = sorted(manager.all_steps(), reverse=True)
+    if not steps:
         raise FileNotFoundError("no checkpoint found")
-    restored = manager.restore(
-        step, args=ocp.args.Composite(config=ocp.args.JsonRestore()))
-    return config_from_json(json.dumps(restored["config"]))
+    last_err: Optional[Exception] = None
+    for s in steps:
+        try:
+            restored = manager.restore(
+                s, args=ocp.args.Composite(config=ocp.args.JsonRestore()))
+        except Exception as e:
+            if step is not None:
+                raise
+            last_err = e
+            continue
+        return config_from_json(json.dumps(restored["config"]))
+    raise RuntimeError(
+        f"no checkpoint step has a readable config "
+        f"({steps})") from last_err
 
 
 def restore(manager: ocp.CheckpointManager, abstract_state,
@@ -89,6 +109,7 @@ def restore(manager: ocp.CheckpointManager, abstract_state,
     if not steps:
         raise FileNotFoundError("no checkpoint found")
     last_err: Optional[Exception] = None
+    failed: list = []
     for s in steps:
         try:
             restored = manager.restore(
@@ -105,18 +126,27 @@ def restore(manager: ocp.CheckpointManager, abstract_state,
             print(f"warning: checkpoint step {s} failed to restore "
                   f"({type(e).__name__}); falling back to an earlier step",
                   file=sys.stderr)
-            # deregister the damaged step: Orbax refuses to save at a step
-            # <= latest_step, so leaving it registered would silently DROP
-            # every future save up to s — the resumed run would re-train
-            # and persist nothing
-            try:
-                manager.delete(s)
-            except Exception as de:
-                print(f"warning: could not delete corrupt step {s} "
-                      f"({type(de).__name__}); saves at steps <= {s} may "
-                      f"be skipped", file=sys.stderr)
+            failed.append(s)
             continue
         cfg = config_from_json(json.dumps(restored["config"]))
+        # Deregister the failed newer steps — but ONLY now that a restore
+        # with the SAME template succeeded, which proves those steps are
+        # genuinely damaged rather than the caller's template being wrong
+        # (a wrong template fails for every step; deleting on each failure
+        # would cascade into erasing all checkpoints on a user mistake).
+        # Without the delete, Orbax refuses saves at steps <= latest_step,
+        # so the resumed run would re-train the lost steps and silently
+        # persist nothing.
+        for fs in failed:
+            try:
+                manager.delete(fs)
+            except Exception as de:
+                import sys
+                print(f"warning: could not delete corrupt step {fs} "
+                      f"({type(de).__name__}); saves at steps <= {fs} may "
+                      f"be skipped", file=sys.stderr)
         return restored["state"], cfg
     raise RuntimeError(
-        f"all checkpoint steps {steps} failed to restore") from last_err
+        f"all checkpoint steps {steps} failed to restore "
+        f"(nothing was deleted — if this is a config/template mismatch, "
+        f"retry with the checkpoint's own config)") from last_err

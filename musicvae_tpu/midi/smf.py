@@ -123,6 +123,11 @@ def parse_smf(data: bytes) -> MidiFile:
                 if pitch > 127:
                     # a data byte with the high bit set is malformed SMF
                     raise SMFError("invalid pitch data byte")
+                if vel > 127:
+                    # same rule for the velocity byte — otherwise parse
+                    # accepts a Note the writer would reject (round-trip
+                    # asymmetry; the native parser mirrors this check)
+                    raise SMFError("invalid velocity data byte")
                 tpos += 2
                 is_on = kind == 0x90 and vel > 0
                 if is_on:

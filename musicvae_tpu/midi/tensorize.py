@@ -51,7 +51,10 @@ def notes_to_events(
     spb = spec.steps_per_bar
     n = len(midi.notes)
     if n > max_events:
-        raise ValueError(f"{n} notes > max_events={max_events}")
+        # SMFError (not ValueError): an input-data limit, and the native
+        # path maps its overflow to SMFError — both fallbacks must surface
+        # identically to callers (cli's clean-error handling included)
+        raise smf.SMFError(f"{n} notes > max_events={max_events}")
     events = np.zeros((max_events, 3), dtype=np.int32)
     max_off = 0
     if n:

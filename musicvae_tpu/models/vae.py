@@ -161,7 +161,20 @@ class BarDecoder(nn.Module):
         return (h, hc), (out, c)
 
     def step(self, carry, xs):
-        """Full closed-loop generation step (scanned over bars)."""
+        """Full closed-loop generation step (scanned over bars).
+
+        Note on phrase boundaries: at reset=1 bars (interior phrase
+        starts of a multi-phrase sweep) the GRU state re-initializes but
+        ``prev_bar`` deliberately KEEPS the previous phrase's last bar —
+        the reference's generation loop chains prev-bar conditioning
+        across the whole sweep (BASELINE "prev-bar conditioning → …"),
+        and zeroing it would break musical continuity at every phrase
+        seam. Training windows never see (reset=1, prev≠0) — bar 0 of a
+        window pairs reset with a zero teacher_prev — so interior phrase
+        starts are mildly out of the training distribution; this is
+        inherent to window-based training + chained generation and the
+        reference shares it. Documented rather than 'fixed'.
+        """
         spec = self.spec
         h, hc, prev_bar = carry
         z = xs["z"]
@@ -243,9 +256,10 @@ class PianoRollVAE(nn.Module):
         f = self.enc_feat(x.reshape(b * n, t, p))
         return f.reshape(b, n, -1)
 
-    def cond_vector(self, chord: jax.Array, key_sig: jax.Array,
-                    num_bars: int) -> jax.Array:
-        """[B,N] chord ids + [B] key ids → [B,N,2E] conditioning (C4)."""
+    def cond_vector(self, chord: jax.Array,
+                    key_sig: jax.Array) -> jax.Array:
+        """[B,N] chord ids + [B] key ids → [B,N,2E] conditioning (C4);
+        N comes from chord's shape."""
         ce = self.chord_emb(chord)                              # [B,N,E]
         ke = self.key_emb(key_sig)[:, None, :]                  # [B,1,E]
         ke = jnp.broadcast_to(ke, (*ce.shape[:2], ke.shape[-1]))
@@ -295,7 +309,7 @@ class PianoRollVAE(nn.Module):
 
         cond_vec = None
         if spec.kind == "cond":
-            cond_vec = self.cond_vector(chord, key_sig, n)
+            cond_vec = self.cond_vector(chord, key_sig)
 
         enc = self.encode(x, cond_vec)
         latents: Latents = []
@@ -352,7 +366,7 @@ class PianoRollVAE(nn.Module):
             xs["bin_temp"] = jnp.full((1, n), sample_temperature,
                                       jnp.float32)
         if spec.kind == "cond":
-            xs["cond"] = self.cond_vector(chord, key_sig, n)
+            xs["cond"] = self.cond_vector(chord, key_sig)
         if spec.kind == "hier":
             assert z_phrase is not None
             xs["z_phrase"] = jnp.broadcast_to(

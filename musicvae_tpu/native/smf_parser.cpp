@@ -121,7 +121,9 @@ int32_t mvae_parse_smf(const uint8_t* data, int64_t len,
       uint8_t kind = status & 0xF0;
       if (kind == 0x80 || kind == 0x90) {
         uint8_t pitch = r.u8(), vel = r.u8();
-        if (!r.ok || pitch > 127) return -3;
+        // both data bytes must have the high bit clear (acceptance parity
+        // with the Python parser's pitch+velocity checks)
+        if (!r.ok || pitch > 127 || vel > 127) return -3;
         bool is_on = (kind == 0x90) && vel > 0;
         if (is_on) {
           open_fifo[pitch].emplace_back(tick, vel);

@@ -78,10 +78,11 @@ def param_shardings(params, mesh: Mesh,
         name = _path_str(path)
         for pat, spec in compiled:
             if pat.search(name):
-                ok = all(
-                    dim is None or leaf.shape[i] % axis_size == 0
-                    for i, dim in enumerate(spec))
-                if ok and len(spec) <= leaf.ndim:
+                # rank check FIRST: a spec longer than the leaf's rank must
+                # fall back to replicated, not IndexError in the dim check
+                if len(spec) <= leaf.ndim and all(
+                        dim is None or leaf.shape[i] % axis_size == 0
+                        for i, dim in enumerate(spec)):
                     return NamedSharding(mesh, spec)
                 break
         return NamedSharding(mesh, P())

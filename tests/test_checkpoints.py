@@ -191,3 +191,42 @@ def test_corrupt_step_deleted_so_resave_persists(tmp_path):
     mgr2 = checkpoints.make_manager(ckpt_dir, keep=3)
     re2, _ = checkpoints.restore(mgr2, template)
     assert int(re2.step) == 2, "re-save after fallback was dropped"
+
+
+def test_wrong_template_does_not_delete_checkpoints(tmp_path):
+    """A restore that fails for EVERY step (e.g. the caller's template has
+    the wrong shapes) must not delete anything: deletion is only safe
+    after a successful restore with the same template proves the failed
+    steps were genuinely damaged (review finding: delete-on-any-exception
+    cascaded into erasing all checkpoints on a user config mistake)."""
+    cfg = tiny(C1_CONV_BAR)
+    ckpt_dir, _ = _two_step_run(tmp_path, cfg)
+
+    wrong_cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, z_dim=cfg.model.z_dim * 2))
+    _, wrong_template = create_state(wrong_cfg)
+    mgr = checkpoints.make_manager(ckpt_dir, keep=3)
+    with pytest.raises(RuntimeError, match="failed to restore"):
+        checkpoints.restore(mgr, wrong_template)
+    assert sorted(mgr.all_steps()) == [1, 2], \
+        "template mismatch must not delete checkpoints"
+    # the right template still restores normally afterwards
+    _, template = create_state(cfg)
+    ok, _ = checkpoints.restore(mgr, template)
+    assert int(ok.step) == 2
+
+
+def test_restore_config_falls_back_on_corrupt_latest(tmp_path):
+    """eval/generate/serve read the config via restore_config; it must
+    survive a damaged latest step the same way restore() does."""
+    import shutil
+
+    cfg = tiny(C1_CONV_BAR)
+    ckpt_dir, _ = _two_step_run(tmp_path, cfg)
+    shutil.rmtree(f"{ckpt_dir}/2/config")
+
+    mgr = checkpoints.make_manager(ckpt_dir, keep=3)
+    got = checkpoints.restore_config(mgr)      # falls back to step 1
+    assert got.name == cfg.name
+    with pytest.raises(Exception):
+        checkpoints.restore_config(mgr, step=2)   # explicit stays strict

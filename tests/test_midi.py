@@ -137,3 +137,37 @@ def test_writer_parser_tempo():
     data = tensorize.bars_to_midi_bytes(np.zeros((1, 96, 128)), SPEC)
     midi = smf.parse_smf(data)
     assert midi.tempo_us_per_quarter == 500_000  # 120 bpm
+
+
+def test_invalid_velocity_byte_rejected():
+    """A note_on whose velocity byte has the high bit set is malformed SMF:
+    parse must reject it like the pitch check does — otherwise parse
+    accepts a Note the writer refuses to emit (round-trip asymmetry)."""
+    import struct
+
+    from musicvae_tpu.midi import smf as smf_mod
+
+    track = bytes([0x00, 0x90, 60, 0x90,        # note_on C4 vel=0x90 (bad)
+                   0x00, 0xFF, 0x2F, 0x00])     # end of track
+    data = (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480)
+            + b"MTrk" + struct.pack(">I", len(track)) + track)
+    with pytest.raises(smf_mod.SMFError, match="velocity"):
+        smf_mod.parse_smf(data)
+    # native parser rejects the same bytes (acceptance parity)
+    from musicvae_tpu import native
+    if native.available():
+        with pytest.raises(Exception):
+            native.parse_smf(data)
+
+
+def test_event_overflow_is_smf_error():
+    """notes > max_events surfaces as SMFError on the pure-Python path,
+    matching the native path's error type (cli's clean-error contract)."""
+    from musicvae_tpu.midi import smf as smf_mod
+    from musicvae_tpu.midi import tensorize as tz
+
+    notes = [smf_mod.Note(60, i * 4, i * 4 + 2, 100) for i in range(10)]
+    data = smf_mod.write_smf(notes, 480, 500000)
+    midi = smf_mod.parse_smf(data)
+    with pytest.raises(smf_mod.SMFError, match="max_events"):
+        tz.notes_to_events(midi, SPEC, max_events=4)

@@ -260,3 +260,23 @@ def test_tp_rules_cover_full_weight_surface():
     assert "decoder/head/ConvTranspose_4/kernel" not in sharded
     # >60% of all weight leaves end up sharded at full size
     assert len(sharded) / len(flat) > 0.6
+
+
+def test_tp_rule_rank_mismatch_falls_back_replicated():
+    """A rule whose PartitionSpec has more dims than a matching leaf must
+    fall back to replicated, not crash (rank check precedes the
+    divisibility indexing)."""
+    from jax.sharding import PartitionSpec as P
+
+    from musicvae_tpu.config import C2_GRU_4BAR
+    from musicvae_tpu.models import init_params
+    from musicvae_tpu.parallel import param_shardings
+    from musicvae_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    _, params = init_params(C2_GRU_4BAR, jax.random.key(0))
+    # matches 1-D biases with a 2-D spec: must not raise
+    sh = param_shardings(params, mesh,
+                         rules=[(r".*/bias$", P(None, MODEL_AXIS))])
+    for s in jax.tree.leaves(sh):
+        assert MODEL_AXIS not in str(s.spec)
