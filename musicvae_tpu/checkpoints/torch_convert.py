@@ -103,11 +103,15 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any],
             "enc_gru": {"GRUCell_0": _gru(sd, "enc_gru")},
             "decoder": {
                 "h_init": _dense(sd, "h_init"),
-                "prev_feat": _barfeat(sd, "prev_feat", ne),
                 "seq_gru": _gru(sd, "dec_gru"),
                 "head": _head(sd, "head", nd),
             },
         }
+        if spec.use_prev_bar:
+            # the flax BarDecoder only declares prev_feat when the spec
+            # asks for it (models/vae.py setup) — an unconditional subtree
+            # would carry dead weights the model never binds
+            params["decoder"]["prev_feat"] = _barfeat(sd, "prev_feat", ne)
         if spec.kind == "hier":
             params["phrase_head"] = {"Dense_0": _dense(sd, "phrase_head")}
             params["bar_head"] = {"Dense_0": _dense(sd, "bar_head")}
@@ -187,7 +191,8 @@ def flax_params_to_torch_state_dict(params: Dict[str, Any],
         put_barfeat("enc_feat", params["enc_feat"])
         put_gru("enc_gru", params["enc_gru"]["GRUCell_0"])
         put_dense("h_init", params["decoder"]["h_init"])
-        put_barfeat("prev_feat", params["decoder"]["prev_feat"])
+        if spec.use_prev_bar:
+            put_barfeat("prev_feat", params["decoder"]["prev_feat"])
         put_gru("dec_gru", params["decoder"]["seq_gru"])
         put_head("head", params["decoder"]["head"])
         if spec.kind == "hier":

@@ -168,9 +168,15 @@ class PianoRollDataset:
                 "key_sig": self.keys[idx]}
 
     def iterator(self, batch_size: int, seed: int = 0,
-                 drop_remainder: bool = True,
                  x_dtype=np.float32) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite shuffled epochs of host batches (streaming fallback)."""
+        """Infinite shuffled epochs of host batches (streaming fallback).
+
+        The per-epoch remainder (< batch_size windows) is always dropped:
+        jitted steps need a fixed batch shape, and a shuffled epoch means
+        different windows land in the remainder each epoch, so nothing is
+        systematically skipped. (A former ``drop_remainder`` parameter was
+        accepted but never honored — removed rather than half-kept.)
+        """
         rng = np.random.default_rng(seed)
         n = len(self)
         while True:

@@ -38,18 +38,33 @@ _ERRORS = {
 
 
 def build(force: bool = False) -> str:
-    """Compile the native library (idempotent). Returns the .so path."""
+    """Compile the native library (idempotent). Returns the .so path.
+
+    Compiles to a process-unique temp path then os.replace()s into place:
+    concurrent processes (multi-host launches, parallel test workers) may
+    all decide to rebuild, and a non-atomic `g++ -o LIB` would let one
+    process dlopen another's half-written file.
+    """
     if force or not os.path.exists(_LIB) or (
             os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", _LIB, _SRC],
-            check=True, capture_output=True)
+        tmp = f"{_LIB}.{os.getpid()}.tmp"
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-o", tmp, _SRC],
+                check=True, capture_output=True)
+            os.replace(tmp, _LIB)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return _LIB
 
 
 def load() -> Optional[ctypes.CDLL]:
-    """Load (building if needed); None if the toolchain is unavailable."""
+    """Load (building if needed); None if the toolchain is unavailable OR
+    the library on disk is stale/incompatible (symbol binding below is
+    inside the try: a prebuilt .so missing a newer entry point must fall
+    back to the pure-Python codec, not raise AttributeError forever)."""
     global _lib, _build_failed
     with _lock:
         if _lib is not None or _build_failed:
@@ -57,35 +72,39 @@ def load() -> Optional[ctypes.CDLL]:
         try:
             path = build()
             lib = ctypes.CDLL(path)
+            _bind(lib)
         except Exception:
             _build_failed = True
             return None
-        lib.mvae_parse_smf.restype = ctypes.c_int32
-        lib.mvae_parse_smf.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.mvae_quantize_events.restype = ctypes.c_int32
-        lib.mvae_quantize_events.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
-        ]
-        lib.mvae_corpus_totals.restype = ctypes.c_int32
-        lib.mvae_corpus_totals.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.mvae_corpus_rasterize.restype = ctypes.c_int32
-        lib.mvae_corpus_rasterize.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
-        ]
         _lib = lib
         return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.mvae_parse_smf.restype = ctypes.c_int32
+    lib.mvae_parse_smf.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mvae_quantize_events.restype = ctypes.c_int32
+    lib.mvae_quantize_events.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+    ]
+    lib.mvae_corpus_totals.restype = ctypes.c_int32
+    lib.mvae_corpus_totals.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.mvae_corpus_rasterize.restype = ctypes.c_int32
+    lib.mvae_corpus_rasterize.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+    ]
 
 
 def available() -> bool:

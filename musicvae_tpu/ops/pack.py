@@ -20,7 +20,12 @@ import numpy as np
 def pack_bits_np(x: np.ndarray) -> np.ndarray:
     """Host-side: binary [..., P] (any dtype, nonzero == 1) → uint8
     [..., P/8]; P must be a multiple of 8 (the pitch axis is 128)."""
-    assert x.shape[-1] % 8 == 0, x.shape
+    if x.shape[-1] % 8 != 0:
+        # explicit raise (not assert — stripped under python -O):
+        # np.packbits would silently zero-pad and unpack_bits would then
+        # reconstruct a WIDER last axis, corrupting shapes downstream
+        raise ValueError(f"last axis {x.shape[-1]} not a multiple of 8; "
+                         f"bit-pack round-trip would not be exact")
     return np.packbits(np.asarray(x) != 0, axis=-1)
 
 

@@ -110,3 +110,39 @@ def test_corpus_tensorize_native_vs_python(threads):
 def test_corpus_tensorize_error_propagates():
     with pytest.raises(ValueError):
         native.tensorize_corpus([b"not midi"], 24, 96)
+
+
+def test_stale_library_missing_symbol_falls_back(monkeypatch, tmp_path):
+    """A loadable .so missing a newer entry point (stale prebuilt) must
+    make load() return None (pure-Python fallback), not raise
+    AttributeError forever (review finding: symbol binding sat outside
+    the try block)."""
+    import ctypes
+
+    from musicvae_tpu import native
+
+    class FakeLib:
+        mvae_parse_smf = ctypes.CFUNCTYPE(ctypes.c_int32)()
+        # mvae_quantize_events etc. missing → binding raises AttributeError
+
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_build_failed", False)
+    monkeypatch.setattr(native, "build", lambda force=False: "fake.so")
+    monkeypatch.setattr(native.ctypes, "CDLL", lambda path: FakeLib())
+    assert native.load() is None
+    assert native._build_failed is True       # and it stays failed
+    assert native.available() is False
+    # restore module state for other tests
+    monkeypatch.setattr(native, "_build_failed", False)
+
+
+def test_pack_bits_rejects_non_multiple_of_8():
+    import pytest as _pytest
+
+    from musicvae_tpu.ops.pack import pack_bits_np
+
+    with _pytest.raises(ValueError, match="multiple of 8"):
+        pack_bits_np(np.zeros((4, 100)))

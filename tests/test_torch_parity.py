@@ -130,3 +130,32 @@ def test_roundtrip_flax_to_torch_to_flax(name):
             b = oracle2(x, eps, eps_bar=eb)
     # b_hh_r/b_hh_z fold into input biases: outputs identical, weights not
     np.testing.assert_allclose(a[0].numpy(), b[0].numpy(), atol=1e-5)
+
+
+def test_convert_no_prev_bar_roundtrip():
+    """use_prev_bar=False models declare no prev_feat module; both
+    conversion directions must respect that instead of KeyError-ing on
+    export / carrying dead weights on import (review finding)."""
+    import dataclasses
+
+    from musicvae_tpu.checkpoints.torch_convert import (
+        flax_params_to_torch_state_dict, torch_state_dict_to_flax)
+    from musicvae_tpu.models import init_params
+
+    cfg = CASES["c2"].replace(model=dataclasses.replace(
+        CASES["c2"].model, use_prev_bar=False))
+    _, params = init_params(cfg, jax.random.key(0))
+    assert "prev_feat" not in params["decoder"]
+
+    sd = flax_params_to_torch_state_dict(params, cfg)     # must not raise
+    assert not any("prev_feat" in k for k in sd)
+    back = torch_state_dict_to_flax(sd, cfg)
+    assert "prev_feat" not in back["decoder"]
+    for (pa, a), (pb, b2) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(params),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(back),
+                   key=lambda kv: str(kv[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   atol=1e-6)
