@@ -111,42 +111,75 @@ def restore(manager: ocp.CheckpointManager, abstract_state,
     last_err: Optional[Exception] = None
     failed: list = []
     for s in steps:
-        try:
-            restored = manager.restore(
-                s,
-                args=ocp.args.Composite(
-                    state=ocp.args.StandardRestore(abstract_state),
-                    config=ocp.args.JsonRestore(),
-                ))
-        except Exception as e:
-            if strict:
-                raise
-            last_err = e
-            import sys
-            print(f"warning: checkpoint step {s} failed to restore "
-                  f"({type(e).__name__}); falling back to an earlier step",
-                  file=sys.stderr)
+        restored = None
+        # two attempts per step: a transient failure (network/FS hiccup,
+        # host OOM during that one restore) is indistinguishable from real
+        # corruption on a single try, and falling back on a transient
+        # would sideline a healthy latest checkpoint
+        for attempt in range(2):
+            try:
+                restored = manager.restore(
+                    s,
+                    args=ocp.args.Composite(
+                        state=ocp.args.StandardRestore(abstract_state),
+                        config=ocp.args.JsonRestore(),
+                    ))
+                break
+            except Exception as e:
+                if strict:
+                    raise
+                last_err = e
+                import sys
+                print(f"warning: checkpoint step {s} failed to restore "
+                      f"({type(e).__name__}); "
+                      f"{'retrying once' if attempt == 0 else 'falling back to an earlier step'}",
+                      file=sys.stderr)
+        if restored is None:
             failed.append(s)
             continue
         cfg = config_from_json(json.dumps(restored["config"]))
         # Deregister the failed newer steps — but ONLY now that a restore
         # with the SAME template succeeded, which proves those steps are
         # genuinely damaged rather than the caller's template being wrong
-        # (a wrong template fails for every step; deleting on each failure
-        # would cascade into erasing all checkpoints on a user mistake).
-        # Without the delete, Orbax refuses saves at steps <= latest_step,
-        # so the resumed run would re-train the lost steps and silently
-        # persist nothing.
+        # (a wrong template fails for every step; acting on each failure
+        # would cascade into sidelining all checkpoints on a user mistake).
+        # Without deregistration, Orbax refuses saves at steps <=
+        # latest_step, so the resumed run would re-train the lost steps and
+        # silently persist nothing. The step is QUARANTINED (renamed to
+        # '<step>.corrupt'), not deleted: if the double failure was still
+        # environmental, the data remains recoverable by hand.
         for fs in failed:
+            _quarantine_step(manager, fs)
+        if failed:
             try:
-                manager.delete(fs)
-            except Exception as de:
-                import sys
-                print(f"warning: could not delete corrupt step {fs} "
-                      f"({type(de).__name__}); saves at steps <= {fs} may "
-                      f"be skipped", file=sys.stderr)
+                manager.reload()   # drop the renamed steps from the
+            except Exception:      # manager's in-memory step list
+                pass
         return restored["state"], cfg
     raise RuntimeError(
         f"all checkpoint steps {steps} failed to restore "
-        f"(nothing was deleted — if this is a config/template mismatch, "
-        f"retry with the checkpoint's own config)") from last_err
+        f"(nothing was deleted or quarantined — if this is a config/"
+        f"template mismatch, retry with the checkpoint's own config)"
+        ) from last_err
+
+
+def _quarantine_step(manager: ocp.CheckpointManager, step: int) -> None:
+    """Move a proven-corrupt step directory aside as '<step>.corrupt[.N]'
+    so Orbax no longer lists it (its name no longer parses as a step) but
+    the payload stays on disk for manual recovery."""
+    import sys
+    try:
+        src = os.path.join(str(manager.directory), str(step))
+        dst = f"{src}.corrupt"
+        n = 0
+        while os.path.exists(dst):
+            n += 1
+            dst = f"{src}.corrupt.{n}"
+        os.rename(src, dst)
+        print(f"warning: quarantined corrupt checkpoint step {step} as "
+              f"{os.path.basename(dst)} (recoverable by hand; delete it to "
+              f"reclaim space)", file=sys.stderr)
+    except Exception as de:
+        print(f"warning: could not quarantine corrupt step {step} "
+              f"({type(de).__name__}); saves at steps <= {step} may be "
+              f"skipped", file=sys.stderr)

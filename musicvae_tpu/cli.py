@@ -184,19 +184,29 @@ def cmd_eval(args) -> int:
     eval_fn = make_eval_fn(cfg, model)
     b = cfg.train.batch_size
     acc = {}
-    # deterministic partition sweep: each window is scored at most once
-    # (sampling with replacement double-counts windows on small datasets)
+    weights_acc = []
+    # deterministic partition sweep: every window is scored EXACTLY once —
+    # a final partial batch is padded to the jitted batch shape but the
+    # pad examples carry weight 0 (make_eval_fn), so means are unbiased
+    # on datasets whose size is not a batch multiple
     perm = np.random.default_rng(0).permutation(len(ds)).astype(np.int32)
-    if len(ds) < b:   # tiny dataset: single wrapped batch
-        perm = np.resize(perm, b)
-    n_batches = min(args.batches, max(1, len(perm) // b))
+    n_batches = min(args.batches, -(-len(perm) // b))
     for i in range(n_batches):
         idx = perm[i * b:(i + 1) * b]
+        n_real = idx.shape[0]
+        w = None
+        if n_real < b:   # tail: pad by wrapping, zero-weight the pad
+            idx = np.resize(idx, b)
+            w = np.zeros(b, np.float32)
+            w[:n_real] = 1.0
+            w = jax.numpy.asarray(w)
         m = jax.device_get(eval_fn(state.params, ds.batch(idx),
-                                   jax.random.key(i)))
+                                   jax.random.key(i), weights=w))
+        weights_acc.append(n_real)
         for k, v in m.items():
             acc.setdefault(k, []).append(float(v))
-    means = {k: sum(v) / len(v) for k, v in acc.items()}
+    wt = np.asarray(weights_acc, np.float64)
+    means = {k: float(np.dot(v, wt) / wt.sum()) for k, v in acc.items()}
     print(" ".join(f"{k}={v:.5g}" for k, v in sorted(means.items())))
     return 0
 
@@ -299,8 +309,40 @@ def cmd_serve(args) -> int:
     params = jax.device_put(state.params, replicated(mesh))
     gen = make_generate_fn(cfg, model, mesh=mesh)
 
+    def cond_kwargs(req, seed: int) -> dict:
+        """Concrete chord/key arrays for cond models — ALWAYS concrete so
+        the jit trace signature is identical whether or not a request
+        pins them (None vs array is a different signature: the first
+        conditioned request would otherwise trigger a full mid-service
+        recompile — minutes on remote-compile TPU setups). An omitted
+        field falls back to host-side random classes, matching
+        make_generate_fn's on-device default distribution."""
+        kw = {}
+        if cfg.model.kind != "cond":
+            return kw
+        import jax.numpy as jnp
+        b, n = cfg.gen.num_samples, cfg.gen.num_bars
+        rng = np.random.default_rng(seed)
+        if req.get("chord") is not None:
+            c = int(req["chord"])
+            if not 0 <= c < cfg.model.cond_chord_classes:
+                raise ValueError(f"chord {c} out of range")
+            kw["chord"] = jnp.full((b, n), c, jnp.int32)
+        else:
+            kw["chord"] = jnp.asarray(rng.integers(
+                0, cfg.model.cond_chord_classes, (b, n)), jnp.int32)
+        if req.get("key") is not None:
+            kv = int(req["key"])
+            if not 0 <= kv < cfg.model.cond_key_classes:
+                raise ValueError(f"key {kv} out of range")
+            kw["key_sig"] = jnp.full((b,), kv, jnp.int32)
+        else:
+            kw["key_sig"] = jnp.asarray(rng.integers(
+                0, cfg.model.cond_key_classes, (b,)), jnp.int32)
+        return kw
+
     t0 = time.perf_counter()
-    warm = gen(params, jax.random.key(0))
+    warm = gen(params, jax.random.key(0), **cond_kwargs({}, 0))
     float(np.asarray(warm).sum())           # fence: compile finishes here
     print(f"serving {cfg.name} (step {int(jax.device_get(state.step))}): "
           f"{args.samples}x{args.bars} bars/request, compiled in "
@@ -316,22 +358,9 @@ def cmd_serve(args) -> int:
         try:
             req = json.loads(line)
             rid = req.get("id")
-            kw = {}
-            if cfg.model.kind == "cond":
-                import jax.numpy as jnp
-                b, n = cfg.gen.num_samples, cfg.gen.num_bars
-                if req.get("chord") is not None:
-                    c = int(req["chord"])
-                    if not 0 <= c < cfg.model.cond_chord_classes:
-                        raise ValueError(f"chord {c} out of range")
-                    kw["chord"] = jnp.full((b, n), c, jnp.int32)
-                if req.get("key") is not None:
-                    kv = int(req["key"])
-                    if not 0 <= kv < cfg.model.cond_key_classes:
-                        raise ValueError(f"key {kv} out of range")
-                    kw["key_sig"] = jnp.full((b,), kv, jnp.int32)
-            bars = np.asarray(gen(params, jax.random.key(int(
-                req.get("seed", served))), **kw))
+            seed = int(req.get("seed", served))
+            kw = cond_kwargs(req, seed)
+            bars = np.asarray(gen(params, jax.random.key(seed), **kw))
             midis = [base64.b64encode(bars_to_midi(bars[i], cfg)).decode()
                      for i in range(bars.shape[0])]
             print(json.dumps({"id": rid, "midi_b64": midis,

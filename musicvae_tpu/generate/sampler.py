@@ -29,23 +29,33 @@ from musicvae_tpu.models.vae import PianoRollVAE, build_model
 
 
 def latent_path(key: jax.Array, cfg: Config, batch: int, num_bars: int,
-                interpolate: bool, temperature: float = 1.0
+                interpolate: bool, temperature: float = 1.0,
+                z0: Optional[jax.Array] = None
                 ) -> Tuple[jax.Array, jax.Array]:
     """Per-bar latent path z[B, num_bars, z] and GRU reset mask [B, num_bars].
 
     Granularity matches training: gru_seq/cond hold one z per phrase
     (phrase = model.num_bars, the per-sequence posterior); hier models draw
-    an independent z per bar (the per-bar posterior's prior is N(0,I)).
+    an independent z per bar (the per-bar posterior's prior is N(0,I)) —
+    so a hier interpolation sweep slerps the PER-BAR z along the path
+    while the phrase z stays a single draw for the whole sweep; that is
+    the intended semantic (the phrase latent is the piece's identity, the
+    bar latents are the local material being morphed), asserted in
+    tests/test_train_e2e.py.
     For ``interpolate`` the path slerps z_a→z_b across phrases; a
     single-phrase sweep uses the slerp midpoint (still a function of both
-    endpoints). Pure function of the PRNG key — safe inside jit.
+    endpoints). ``z0`` ([B, z], e.g. an encoded posterior sample from
+    `make_encode_fn` — the continuation path) pins the FIRST phrase's z
+    (and the slerp start z_a under ``interpolate``); later phrases still
+    come from the prior. Pure function of the PRNG key — safe inside jit.
     """
     z_dim = cfg.model.z_dim
     phrase = 1 if cfg.model.kind == "hier" else max(1, cfg.model.num_bars)
     n_phrases = -(-num_bars // phrase)
     if interpolate:
         k_a, k_b = jax.random.split(key)
-        z_a = jax.random.normal(k_a, (batch, z_dim)) * temperature
+        z_a = (z0 if z0 is not None
+               else jax.random.normal(k_a, (batch, z_dim)) * temperature)
         z_b = jax.random.normal(k_b, (batch, z_dim)) * temperature
         ts = (jnp.linspace(0.0, 1.0, n_phrases) if n_phrases > 1
               else jnp.array([0.5]))
@@ -54,6 +64,8 @@ def latent_path(key: jax.Array, cfg: Config, batch: int, num_bars: int,
     else:
         z_phrases = jax.random.normal(
             key, (n_phrases, batch, z_dim)) * temperature
+        if z0 is not None:
+            z_phrases = z_phrases.at[0].set(z0)
     z_bars = jnp.repeat(z_phrases, phrase, axis=0)[:num_bars]    # [N,B,z]
     z_bars = jnp.swapaxes(z_bars, 0, 1)                          # [B,N,z]
     bar_idx = jnp.arange(num_bars)
@@ -89,10 +101,17 @@ def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
         batch_spec = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
     @jax.jit
-    def generate(params, key, seed_bar=None, chord=None, key_sig=None):
+    def generate(params, key, seed_bar=None, chord=None, key_sig=None,
+                 z0=None, z_phrase0=None):
+        """``seed_bar`` [B,T,P]: a real bar as the first prev-bar
+        conditioning (SURVEY §3.3 'zeros or a real bar'); ``z0`` [B,z]
+        pins the first phrase's latent and ``z_phrase0`` [B,z_phrase] the
+        hier phrase latent — both typically encoded posterior samples
+        from make_encode_fn (continuation from real music rather than
+        the prior)."""
         k_z, k_c, k_k, k_p, k_bin = jax.random.split(key, 5)
         z_bars, reset = latent_path(k_z, cfg, batch, num_bars,
-                                    g.interpolate, g.temperature)
+                                    g.interpolate, g.temperature, z0=z0)
         if mesh is not None:
             z_bars = jax.lax.with_sharding_constraint(z_bars, batch_spec)
         kw: Dict = {}
@@ -106,8 +125,10 @@ def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
             kw = {"chord": chord, "key_sig": key_sig}
         z_phrase = None
         if cfg.model.kind == "hier":
-            z_phrase = jax.random.normal(
-                k_p, (batch, cfg.model.z_phrase_dim)) * g.temperature
+            z_phrase = (z_phrase0 if z_phrase0 is not None
+                        else jax.random.normal(
+                            k_p, (batch, cfg.model.z_phrase_dim))
+                        * g.temperature)
         if g.sample_mode == "bernoulli":
             kw["bin_keys"] = jax.random.split(k_bin, num_bars)
             kw["sample_temperature"] = g.sample_temperature
@@ -117,6 +138,38 @@ def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
         return bars
 
     return generate
+
+
+def make_encode_fn(cfg: Config, model: Optional[PianoRollVAE] = None):
+    """Jitted posterior encode for seeded continuation (SURVEY §3.3: the
+    generation loop may start from 'a real bar' — this is the '--encode'
+    variant that also starts the LATENT path from the seed music).
+
+    Returns fn(params, x, key, chord=None, key_sig=None) → dict with a
+    posterior sample per latent level: {"z0": [B, z]} for conv_bar/
+    gru_seq/cond, plus {"z_phrase0": [B, z_phrase]} for hier (whose
+    per-bar z continues to come from the prior inside the sweep — the
+    phrase latent is the piece identity). x: [B, num_bars, T, P].
+    """
+    model = model or build_model(cfg)
+    from musicvae_tpu.models.latent import reparameterize
+
+    @jax.jit
+    def encode(params, x, key, chord=None, key_sig=None):
+        def run(mdl):
+            cond_vec = None
+            if cfg.model.kind == "cond":
+                cond_vec = mdl.cond_vector(chord, key_sig)
+            return mdl.encode(x, cond_vec)
+
+        enc = model.apply({"params": params}, method=run)
+        if cfg.model.kind == "hier":
+            mu_p, lv_p = enc["phrase"]
+            return {"z_phrase0": reparameterize(key, mu_p, lv_p)}
+        mu, lv = enc["z"]
+        return {"z0": reparameterize(key, mu, lv)}
+
+    return encode
 
 
 def reconstruct_fn(cfg: Config, model: Optional[PianoRollVAE] = None):

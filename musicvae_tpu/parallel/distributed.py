@@ -75,3 +75,38 @@ def initialize_from_env(coordinator: Optional[str] = None,
         _initialized = True
         return True
     return False
+
+
+def assert_hosts_identical(what: str, *chunks: bytes) -> None:
+    """Fail fast if any process's ``chunks`` differ from the others'.
+
+    The multi-host data path's correctness rests on an UNCHECKED contract:
+    every process computes the identical host-side value before
+    parallel/mesh.put_global uploads its own devices' shards. A
+    nondeterministic data source (e.g. an unseeded iterator) would
+    otherwise train on silently divergent shards. This guard hashes the
+    value on each process and all-gathers the digests; every process
+    raises on mismatch (the gathered array is identical everywhere, so no
+    process proceeds alone). One collective at startup — not per step.
+    """
+    import hashlib
+
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return
+    h = hashlib.sha256()
+    for c in chunks:
+        h.update(c)
+    local = np.frombuffer(h.digest()[:16], dtype=np.uint32)
+    from jax.experimental import multihost_utils
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    if not (gathered == local[None, :]).all():
+        bad = [p for p in range(gathered.shape[0])
+               if not (gathered[p] == gathered[0]).all()]
+        raise RuntimeError(
+            f"multi-host data divergence: {what} differs across processes "
+            f"(processes {bad} disagree with process 0). Every host must "
+            f"compute the identical corpus/batches — see "
+            f"parallel/mesh.put_global's data contract.")

@@ -92,5 +92,17 @@ def param_shardings(params, mesh: Mesh,
 
 def shard_params(params, mesh: Mesh,
                  rules: Sequence[Tuple[str, P]] = DEFAULT_TP_RULES):
-    """Place params on the mesh per the TP rules."""
-    return jax.device_put(params, param_shardings(params, mesh, rules))
+    """Place params on the mesh per the TP rules.
+
+    Works on process-spanning meshes: plain jax.device_put rejects
+    shardings with non-addressable devices, so multi-host placement goes
+    through parallel/mesh.put_global (every process holds the identical
+    full params — deterministic init or a restored checkpoint — and
+    uploads only its own devices' shards). Proven by the 2-process DP×TP
+    run in tests/test_multiprocess.py.
+    """
+    shardings = param_shardings(params, mesh, rules)
+    if jax.process_count() == 1:
+        return jax.device_put(params, shardings)
+    from musicvae_tpu.parallel.mesh import put_global
+    return jax.tree.map(put_global, params, shardings)

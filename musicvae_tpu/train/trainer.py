@@ -232,6 +232,88 @@ def make_train_step_indexed_multi(cfg: Config, model, k: int, opt=None,
     return jax.jit(multi, donate_argnums=(0,))
 
 
+def pick_k(cfg: Config, do_eval: bool) -> int:
+    """Steps per device dispatch: the largest divisor of the log/ckpt/eval
+    cadence gcd, capped at 100.
+
+    Cap rationale: a single dispatch over the axon tunnel costs ~25ms
+    round-trip (bench/decompose.py 'dispatch(empty)'), so K=100 puts the
+    per-step dispatch share at ~0.25ms — below 12% of even the smallest
+    config's device step time. k divides every cadence, so once the step
+    counter is k-aligned (see dispatch_sizes) every absolute boundary
+    (step % log_every == 0 etc.) lands exactly on a dispatch edge.
+    """
+    g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
+    if do_eval:
+        g = math.gcd(g, cfg.train.eval_every)
+    return max(d for d in range(1, min(g, 100) + 1) if g % d == 0)
+
+
+def dispatch_sizes(start: int, total: int, k: int) -> list:
+    """Per-dispatch step counts covering [start, total).
+
+    At most three distinct sizes appear — an alignment dispatch bringing
+    the step counter to the next multiple of k, the steady-state k, and a
+    final partial dispatch — so a resume from an ARBITRARY step (e.g.
+    after a corrupt-latest checkpoint fallback) costs at most two extra
+    XLA compiles and keeps the production K for the whole remaining run
+    (round 2 forced k=1 forever when k ∤ start_step). Every multiple of k
+    inside the range is visited, so absolute log/ckpt/eval boundaries
+    (which k divides, pick_k) are never skipped.
+    """
+    sizes = []
+    s = start
+    while s < total:
+        ki = min(k - s % k, total - s)
+        sizes.append(ki)
+        s += ki
+    return sizes
+
+
+def make_id_schedule(seed: int, n: int, b: int) -> Callable[[int], np.ndarray]:
+    """Stateless per-step window-id schedule: step -> [b] int32 ids.
+
+    A pure function of (seed, step), so resume is O(1): a run restarted at
+    step S draws exactly the ids a continuous run would at S — no
+    O(start_step) fast-forward replay (round 2 replayed every historical
+    draw on resume; equivalence is re-tested in test_eval_training.py).
+    Semantics match the reference-style shuffled epochs: epoch e uses the
+    permutation seeded by (seed, 0, e), consumed b ids per step with the
+    (< b) remainder dropped; corpora smaller than one batch sample with
+    replacement per step (seeded (seed, 1, step)).
+    """
+    bpe = n // b          # batches (= steps) per epoch; 0 when n < b
+    cache: Dict[str, Any] = {}
+
+    def ids_for_step(step: int) -> np.ndarray:
+        if bpe == 0:
+            return np.random.default_rng((seed, 1, step)).integers(
+                0, n, size=b).astype(np.int32)
+        epoch, pos = divmod(step, bpe)
+        if cache.get("epoch") != epoch:
+            cache["epoch"] = epoch
+            cache["perm"] = np.random.default_rng(
+                (seed, 0, epoch)).permutation(n).astype(np.int32)
+        return cache["perm"][pos * b:(pos + 1) * b]
+
+    return ids_for_step
+
+
+def _write_json_atomic(path: str, obj) -> None:
+    """Crash-safe JSON write: tmp + fsync + os.replace, so a reader never
+    sees a truncated file (the best-metric sidecar guards exactly the
+    crash-mid-write window — a torn write would silently reset the best
+    tracking it exists to preserve)."""
+    import json as _json
+    import os as _os
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(obj, f)
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, path)
+
+
 def train(cfg: Config,
           data: Any,
           num_steps: Optional[int] = None,
@@ -275,7 +357,6 @@ def train(cfg: Config,
     # the true step number and (b) num_steps means TOTAL steps — resuming a
     # finished run is a no-op rather than a silent re-train.
     start_step = int(jax.device_get(state.step))
-    remaining = max(0, num_steps - start_step)
 
     eval_every = cfg.train.eval_every
     do_eval = (eval_every > 0 and eval_data is not None
@@ -311,6 +392,14 @@ def train(cfg: Config,
                             _json.load(f)["eval_loss"])
                 except (OSError, ValueError, KeyError):
                     pass   # unreadable sidecar: fall back to fresh best
+            if jax.process_count() > 1:
+                # only process 0 owns the sidecar (it may not exist on
+                # other hosts' filesystems); every process must agree on
+                # the best so the collective best-checkpoint save below
+                # is entered by all of them or none
+                from jax.experimental import multihost_utils
+                best_eval_loss = float(multihost_utils.broadcast_one_to_all(
+                    np.float64(best_eval_loss)))
 
         def run_eval(cur_state) -> Dict[str, float]:
             acc: Dict[str, list] = {}
@@ -325,21 +414,11 @@ def train(cfg: Config,
             return {"eval_" + mk: sum(mv) / len(mv)
                     for mk, mv in acc.items()}
 
-    # K steps per dispatch (host-link jitter amortizes); K must divide
-    # the log/ckpt/eval cadence AND the remaining steps so boundaries land
-    # exactly — pick the largest such divisor of the gcd, capped at 100.
-    # Cap rationale: a single dispatch over the axon tunnel costs ~25ms
-    # round-trip (bench/decompose.py 'dispatch(empty)'), so K=100 puts
-    # the per-step dispatch share at ~0.25ms — below 12% of even the
-    # smallest config's device step time.
-    g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
-    if do_eval:
-        g = math.gcd(g, eval_every)
-    # k must also divide start_step: boundaries are ABSOLUTE step numbers
-    # (step % log_every == 0), so a resumed run visiting start_step + i*k
-    # with k ∤ start_step would skip every log/ckpt/eval boundary
-    k = max(d for d in range(1, min(g, 100) + 1)
-            if g % d == 0 and remaining % d == 0 and start_step % d == 0)
+    # K steps per dispatch (host-link jitter amortizes, pick_k) executed
+    # per the alignment-aware plan (dispatch_sizes): the same K whether
+    # the run starts at 0 or resumes from an arbitrary step.
+    k = pick_k(cfg, do_eval)
+    sizes = dispatch_sizes(start_step, num_steps, k)
 
     resident = hasattr(data, "bars")
     if resident:
@@ -357,24 +436,21 @@ def train(cfg: Config,
         from jax.sharding import NamedSharding, PartitionSpec
         idx_sharding = NamedSharding(mesh, PartitionSpec(None,
                                                          pmesh.DATA_AXIS))
-        rng = np.random.default_rng(cfg.train.seed)
         n = len(data)
-
-        def batches():
-            if n < b:
-                while True:
-                    yield rng.integers(0, n, size=b).astype(np.int32)
-            while True:
-                perm = rng.permutation(n).astype(np.int32)
-                for i in range(0, n - b + 1, b):
-                    yield perm[i:i + b]
-        idx_iter = batches()
-        # resume continues the DATA schedule, not just the step counter:
-        # fast-forward past the id-vectors the original run consumed, so
-        # a crash-resumed run trains the same batch sequence a continuous
-        # run would (equivalence tested in test_eval_training.py)
-        for _ in range(start_step):
-            next(idx_iter)
+        # stateless schedule: resume from any step is O(1) and draws the
+        # ids a continuous run would (make_id_schedule docstring)
+        ids_for_step = make_id_schedule(cfg.train.seed, n, b)
+        if jax.process_count() > 1:
+            # fail fast on silently divergent host data: put_global's
+            # contract (parallel/mesh.py) is that every process holds the
+            # IDENTICAL corpus — a nondeterministic data source would
+            # otherwise train on divergent shards with no error
+            from musicvae_tpu.parallel.distributed import \
+                assert_hosts_identical
+            assert_hosts_identical(
+                "resident corpus",
+                data.bars.tobytes(), data.starts.tobytes(),
+                np.int64(cfg.train.seed).tobytes())
     else:
         # STREAMING path (corpora larger than HBM): K-step scan over
         # stacked host batches, double-buffered — a producer thread packs
@@ -395,16 +471,16 @@ def train(cfg: Config,
         from musicvae_tpu.ops.pack import pack_bits_np
         stacked_sharding = NamedSharding(
             mesh, PartitionSpec(None, pmesh.DATA_AXIS))
-        n_dispatch = remaining // k
         batch_q: "queue.Queue" = queue.Queue(maxsize=2)
+        multihost = jax.process_count() > 1
 
         def _producer():
             # any failure (incl. an exhausted finite iterator) must reach
             # the training loop — a dead daemon thread would otherwise
             # leave batch_q.get() blocked forever
             try:
-                for _ in range(n_dispatch):
-                    host = [next(data) for _ in range(k)]
+                for di, ki in enumerate(sizes):
+                    host = [next(data) for _ in range(ki)]
                     stacked = jax.tree.map(lambda *xs: np.stack(xs), *host)
                     # rolls are binary: ship 1 bit/cell, unpack on device.
                     # Non-binary values would be silently collapsed by the
@@ -417,11 +493,19 @@ def train(cfg: Config,
                             "(x ∈ {0,1}); got non-binary values, which "
                             "bit-packing would corrupt")
                     stacked["x_packed"] = pack_bits_np(xv)
+                    if di == 0 and multihost:
+                        # streaming's multi-host contract (every host's
+                        # iterator yields identical batches — trainer
+                        # docstring) checked on the first stack; the main
+                        # thread runs the collective (see loop below)
+                        batch_q.put(("check_hosts", [
+                            np.ascontiguousarray(leaf).tobytes()
+                            for leaf in jax.tree.leaves(stacked)]))
                     batch_q.put(pmesh.put_tree(stacked, stacked_sharding))
             except StopIteration:
                 batch_q.put(RuntimeError(
                     f"streaming data iterator exhausted before "
-                    f"{n_dispatch * k} steps; supply an infinite iterator "
+                    f"{num_steps} steps; supply an infinite iterator "
                     f"or fewer num_steps"))
             except BaseException as e:          # noqa: BLE001
                 batch_q.put(e)
@@ -431,21 +515,28 @@ def train(cfg: Config,
 
     metrics = {}
     step = start_step
-    while step < num_steps:
+    for ki in sizes:
         if resident:
             # every process draws the same ids (same seed) and put_tree
             # uploads each device's slice — the batch axis is globally
             # sharded over 'data' whether or not the mesh spans hosts
-            idxs = np.stack([next(idx_iter) for _ in range(k)])
+            idxs = np.stack([ids_for_step(step + j) for j in range(ki)])
             idxs = pmesh.put_tree(idxs, idx_sharding)
             state, metrics = multi_fn(state, data_dev, idxs)
-            step += k
+            step += ki
         else:
             item = batch_q.get()
             if isinstance(item, BaseException):
                 raise item
+            if isinstance(item, tuple) and item[0] == "check_hosts":
+                from musicvae_tpu.parallel.distributed import \
+                    assert_hosts_identical
+                assert_hosts_identical("streaming first batch", *item[1])
+                item = batch_q.get()
+                if isinstance(item, BaseException):
+                    raise item
             state, metrics = multi_fn(state, item)
-            step += k
+            step += ki
         if log_fn is not None and step % cfg.train.log_every == 0:
             log_fn(step, jax.device_get(metrics))
         if do_eval and step % eval_every == 0:
@@ -457,11 +548,12 @@ def train(cfg: Config,
                 best_eval_loss = eval_metrics["eval_loss"]
                 from musicvae_tpu.checkpoints import io as ckpt_io
                 ckpt_io.save(best_ckpt_manager, state, cfg)
-                if best_metric_path is not None:
-                    import json as _json
-                    with open(best_metric_path, "w") as f:
-                        _json.dump({"eval_loss": best_eval_loss,
-                                    "step": step}, f)
+                # crash-safe + single-writer: only process 0 (the same
+                # process that owns the Orbax commit) writes, atomically
+                if best_metric_path is not None and jax.process_index() == 0:
+                    _write_json_atomic(best_metric_path,
+                                       {"eval_loss": best_eval_loss,
+                                        "step": step})
         if ckpt_manager is not None and step % cfg.train.ckpt_every == 0:
             from musicvae_tpu.checkpoints import io as ckpt_io
             ckpt_io.save(ckpt_manager, state, cfg)

@@ -27,10 +27,19 @@ def recon_prf(recon_bin: jax.Array, x: jax.Array,
 
 
 def make_eval_fn(cfg, model):
-    """Jitted eval: (params, batch, key) → {loss, recon, kl, precision,
-    recall, f1}. Uses a posterior sample (one-sample ELBO) and SEMANTICS §6
-    binarization for the PRF terms."""
+    """Jitted eval: (params, batch, key[, weights]) → {loss, recon, kl,
+    precision, recall, f1}. Uses a posterior sample (one-sample ELBO) and
+    SEMANTICS §6 binarization for the PRF terms.
+
+    ``weights`` (optional [B] f32, 1.0 = real example, 0.0 = padding):
+    per-example weighting so a final partial batch can be padded to the
+    jitted batch shape without double-counting the pad windows (cli.py
+    cmd_eval's tail batch — means were silently biased on datasets whose
+    size is not a batch multiple). None keeps the exact production
+    (Pallas-eligible) unweighted path.
+    """
     from musicvae_tpu.midi.tensorize import pitch_mask
+    from musicvae_tpu.ops import losses
     from musicvae_tpu.ops.binarize import binarize_logits
     from musicvae_tpu.train.trainer import elbo_from_outputs
 
@@ -41,18 +50,37 @@ def make_eval_fn(cfg, model):
     use_pallas = jax.default_backend() == "tpu"
 
     @jax.jit
-    def eval_fn(params, batch, key):
+    def eval_fn(params, batch, key, weights=None):
         kw = {}
         if cfg.model.kind == "cond":
             kw = {"chord": batch["chord"], "key_sig": batch["key_sig"]}
-        logits, latents = model.apply({"params": params}, batch["x"], **kw,
+        x = batch["x"]
+        logits, latents = model.apply({"params": params}, x, **kw,
                                       rngs={"latent": key})
-        _, m = elbo_from_outputs(cfg, logits, batch["x"], latents,
-                                 jnp.asarray(cfg.train.beta_max),
-                                 use_pallas=use_pallas)
+        beta = jnp.asarray(cfg.train.beta_max)
+        if weights is None:
+            _, m = elbo_from_outputs(cfg, logits, x, latents,
+                                     beta, use_pallas=use_pallas)
+            prf_mask = mask
+        else:
+            w = weights.astype(jnp.float32)
+            wsum = jnp.sum(w)
+            nb = tuple(range(1, logits.ndim))           # non-batch axes
+            bce_ex = jnp.sum(losses.bce_with_logits(logits, x) * mask,
+                             axis=nb)                   # [B]
+            recon = jnp.sum(w * bce_ex) / wsum
+            kl = sum(
+                jnp.sum(w * (-0.5) * jnp.sum(
+                    1.0 + lv - jnp.square(mu) - jnp.exp(lv),
+                    axis=tuple(range(1, mu.ndim))))
+                for mu, lv in latents) / wsum
+            loss = recon + beta * kl
+            m = {"loss": loss, "recon": recon, "kl": kl}
+            # zero-weight examples drop out of the tp/fp/fn counts too
+            prf_mask = mask * w.reshape((-1,) + (1,) * (x.ndim - 1))
         recon_bin = binarize_logits(logits, cfg.midi.binarize_threshold,
                                     mask)
-        m.update(recon_prf(recon_bin, batch["x"], mask))
+        m.update(recon_prf(recon_bin, x, prf_mask))
         m.pop("beta", None)
         return m
 

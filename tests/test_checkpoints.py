@@ -167,12 +167,16 @@ def test_restore_missing_raises(tmp_path):
         checkpoints.restore(mgr, template)
 
 
-def test_corrupt_step_deleted_so_resave_persists(tmp_path):
+def test_corrupt_step_quarantined_so_resave_persists(tmp_path):
     """After a corrupt-latest fallback the damaged step must be
     DEREGISTERED: Orbax refuses saves at steps <= latest_step, so leaving
     it listed would silently drop every re-save of the re-trained steps
     (review finding, repro'd: re-save returned without writing and the
-    next restore fell back again — losing the same work every cycle)."""
+    next restore fell back again — losing the same work every cycle).
+    Deregistration is a QUARANTINE rename, not a delete: the payload stays
+    on disk for manual recovery (advisor finding: a transient failure is
+    indistinguishable from corruption at the moment of deletion)."""
+    import os
     import shutil
 
     cfg = tiny(C1_CONV_BAR)
@@ -184,6 +188,9 @@ def test_corrupt_step_deleted_so_resave_persists(tmp_path):
     restored, rcfg = checkpoints.restore(mgr, template)
     assert int(restored.step) == 1
     assert 2 not in mgr.all_steps(), "corrupt step still registered"
+    # quarantined, not destroyed: the surviving payload is still on disk
+    assert os.path.isdir(f"{ckpt_dir}/2.corrupt")
+    assert os.path.isdir(f"{ckpt_dir}/2.corrupt/config")
 
     # re-train to step 2 (simulated) and save again: must actually persist
     resaved = restored.replace(step=jnp.asarray(2, jnp.int32))
@@ -191,6 +198,35 @@ def test_corrupt_step_deleted_so_resave_persists(tmp_path):
     mgr2 = checkpoints.make_manager(ckpt_dir, keep=3)
     re2, _ = checkpoints.restore(mgr2, template)
     assert int(re2.step) == 2, "re-save after fallback was dropped"
+
+
+def test_transient_restore_failure_retries_without_fallback(tmp_path):
+    """One failed restore attempt on a HEALTHY latest step (transient
+    network/FS hiccup) must not sideline it: restore() retries the step
+    once before falling back (advisor finding: a single transient failure
+    used to permanently delete the newest checkpoint)."""
+    import os
+
+    cfg = tiny(C1_CONV_BAR)
+    ckpt_dir, states = _two_step_run(tmp_path, cfg)
+
+    mgr = checkpoints.make_manager(ckpt_dir, keep=3)
+    real_restore = mgr.restore
+    calls = {"n": 0}
+
+    def flaky_restore(step, *a, **kw):
+        calls["n"] += 1
+        if step == 2 and calls["n"] == 1:
+            raise OSError("transient: connection reset")
+        return real_restore(step, *a, **kw)
+
+    mgr.restore = flaky_restore
+    _, template = create_state(cfg)
+    restored, _ = checkpoints.restore(mgr, template)
+    assert int(restored.step) == 2, "retry must recover the healthy latest"
+    assert sorted(mgr.all_steps()) == [1, 2]
+    assert not os.path.exists(f"{ckpt_dir}/2.corrupt"), \
+        "healthy step must not be quarantined"
 
 
 def test_wrong_template_does_not_delete_checkpoints(tmp_path):

@@ -173,10 +173,11 @@ def test_streaming_iterator_errors_propagate(ds):
 
 def test_resume_matches_continuous_run_exactly(ds):
     """Crash-resume is EXACT: training 0→N in one run equals training
-    0→M then resuming M→N — same batch schedule (the id stream
-    fast-forwards past start_step) and aligned K boundaries (k divides
-    start_step). Review findings: a resumed run previously replayed the
-    schedule from 0 and, with k ∤ start_step, skipped every log/ckpt
+    0→M then resuming M→N — the id schedule is a pure function of
+    (seed, step) so the resumed leg draws exactly the continuation of the
+    continuous run's batch sequence, and the dispatch plan realigns to
+    the cadence grid. Review findings: a resumed run previously replayed
+    the schedule from 0 and, with k ∤ start_step, skipped every log/ckpt
     boundary."""
     import jax as _jax
 
@@ -195,6 +196,105 @@ def test_resume_matches_continuous_run_exactly(ds):
     for a, b in zip(_jax.tree.leaves(cont.params),
                     _jax.tree.leaves(resumed.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dispatch_plan_keeps_production_k_after_odd_resume():
+    """Resume from an arbitrary step (e.g. a corrupt-latest fallback to an
+    odd step) must keep the production K: one alignment dispatch, then
+    full-K dispatches (round 2 degraded to k=1 for the whole rest of the
+    run when k ∤ start_step)."""
+    from musicvae_tpu.train.trainer import dispatch_sizes, pick_k
+
+    cfg = tiny(C1_CONV_BAR, log_every=100, ckpt_every=1000)
+    k = pick_k(cfg, do_eval=False)
+    assert k == 100
+    sizes = dispatch_sizes(437, 1000, k)
+    assert sizes == [63, 100, 100, 100, 100, 100]
+    # aligned resume and fresh start degenerate to plain K dispatches
+    assert dispatch_sizes(0, 300, 100) == [100, 100, 100]
+    assert dispatch_sizes(200, 500, 100) == [100, 100, 100]
+    # a total that is not a K multiple ends with a partial dispatch
+    assert dispatch_sizes(0, 250, 100) == [100, 100, 50]
+    assert dispatch_sizes(5, 5, 100) == []
+
+
+def test_id_schedule_is_seekable_and_epoch_complete():
+    """The window-id schedule is a pure function of (seed, step): seeking
+    to step S draws what a continuous run would (O(1) resume), and each
+    epoch's steps cover a permutation (shuffled-epoch semantics)."""
+    from musicvae_tpu.train.trainer import make_id_schedule
+
+    n, b = 23, 4
+    sched = make_id_schedule(seed=7, n=n, b=b)
+    cont = [sched(s) for s in range(12)]
+    # seek: a fresh schedule instance at an arbitrary step matches
+    fresh = make_id_schedule(seed=7, n=n, b=b)
+    np.testing.assert_array_equal(fresh(9), cont[9])
+    np.testing.assert_array_equal(fresh(3), cont[3])   # backward seek too
+    # epoch completeness: steps 0..bpe-1 draw bpe*b distinct ids
+    bpe = n // b
+    epoch_ids = np.concatenate(cont[:bpe])
+    assert len(set(epoch_ids.tolist())) == bpe * b
+    # different epochs use different permutations
+    assert not all(np.array_equal(a, b_) for a, b_ in
+                   zip(cont[:bpe], cont[bpe:2 * bpe]))
+    # a different seed gives a different schedule
+    other = make_id_schedule(seed=8, n=n, b=b)
+    assert not np.array_equal(other(0), cont[0])
+    # corpora smaller than a batch sample with replacement, per-step seeded
+    small = make_id_schedule(seed=7, n=3, b=8)
+    np.testing.assert_array_equal(small(5),
+                                  make_id_schedule(7, 3, 8)(5))
+    assert small(5).shape == (8,) and small(5).max() < 3
+
+
+def test_resume_from_odd_step_matches_continuous(ds):
+    """End-to-end: resuming from a step that is NOT a multiple of the
+    cadence gcd still hits every later boundary and reproduces the
+    continuous run's params exactly (alignment dispatch + stateless
+    schedule)."""
+    import jax as _jax
+
+    from musicvae_tpu.train import train
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR, num_steps=8, log_every=2,
+                            ckpt_every=8))
+    _, cont, _ = train(cfg, ds)                       # continuous 0→8
+    _, odd, _ = train(cfg, ds, num_steps=3)           # 0→3 (odd stop)
+    logged = []
+    _, resumed, _ = train(cfg, ds, num_steps=8, state=odd,
+                          log_fn=lambda s, m: logged.append(s))
+    assert int(resumed.step) == 8
+    assert logged == [4, 6, 8], "boundaries after an odd resume"
+    for a, b in zip(_jax.tree.leaves(cont.params),
+                    _jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_sidecar_write_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-sidecar-write must leave the previous sidecar intact
+    (tmp + os.replace): the reader would otherwise treat truncated JSON as
+    'no sidecar', reset best to +inf, and let a worse state overwrite the
+    best checkpoint — the exact failure the sidecar exists to prevent."""
+    import json
+    import os
+
+    from musicvae_tpu.train.trainer import _write_json_atomic
+
+    path = str(tmp_path / "best_metric.json")
+    _write_json_atomic(path, {"eval_loss": 1.0, "step": 10})
+    assert json.load(open(path)) == {"eval_loss": 1.0, "step": 10}
+
+    # crash INSIDE the replace: the target must still hold the old value
+    def boom(src, dst):
+        raise OSError("crash during replace")
+
+    monkeypatch.setattr(os, "replace", boom)
+    with pytest.raises(OSError):
+        _write_json_atomic(path, {"eval_loss": 0.5, "step": 20})
+    monkeypatch.undo()
+    assert json.load(open(path)) == {"eval_loss": 1.0, "step": 10}, \
+        "interrupted write corrupted the sidecar"
 
 
 def test_streaming_rejects_non_binary_rolls(ds):
