@@ -1,0 +1,108 @@
+"""A/B harness for train-step variants on the real chip (round-2 verdict
+#1/#8): measures the PRODUCTION path (device-resident uint8 cache,
+K-step scanned indexed dispatch — bench.py's methodology) under config
+overrides, so candidate optimizations are judged by measured steps/s,
+not by trace speculation.
+
+Variants of interest:
+  --logits-dtype bfloat16   decoder head emits bf16 logits (halves the
+                            HBM write+read of the step's largest
+                            activation; loss still accumulates f32)
+  --model-dtype float32     C1-style fp32 compute (the C1 MFU pin)
+  --k N                     steps per dispatch (dispatch-floor control:
+                            K=100 vs K=1000 separates dispatch overhead
+                            from device-bound time)
+
+Usage (TPU, single-tenant):
+    JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache \
+        python bench/ab_step.py --config c2_gru_4bar --logits-dtype bfloat16
+
+Prints one JSON line: {"config", "overrides", "k", "steps_per_sec"}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="c2_gru_4bar")
+    p.add_argument("--logits-dtype", default=None,
+                   choices=[None, "float32", "bfloat16"])
+    p.add_argument("--model-dtype", default=None,
+                   choices=[None, "float32", "bfloat16"])
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--steps", type=int, default=400)
+    args = p.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from musicvae_tpu.config import get_config
+    from musicvae_tpu.parallel import make_mesh, replicated
+    from musicvae_tpu.train import create_state, make_train_step_indexed_multi
+
+    cfg = get_config(args.config)
+    overrides = {}
+    if args.logits_dtype:
+        overrides["logits_dtype"] = args.logits_dtype
+    if args.model_dtype:
+        overrides["dtype"] = args.model_dtype
+    if overrides:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, **overrides))
+    if args.batch:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    batch_size=args.batch))
+    log(f"backend: {jax.default_backend()}; config {cfg.name} "
+        f"overrides={overrides} batch={cfg.train.batch_size} K={args.k}")
+
+    K = args.k
+    mesh = make_mesh(cfg.mesh)
+    model, state = create_state(cfg)
+    state = jax.device_put(state, replicated(mesh))
+    step_fn = make_train_step_indexed_multi(cfg, model, K)
+
+    b = cfg.train.batch_size
+    n_bars_total = 4096
+    n_windows = n_bars_total - cfg.model.num_bars + 1
+    data = jax.device_put({
+        "bars": (jax.random.uniform(jax.random.key(0),
+                                    (n_bars_total, 96, 128)) < 0.08
+                 ).astype(jnp.uint8),
+        "starts": jnp.arange(n_windows, dtype=jnp.int32),
+    }, replicated(mesh))
+    rng = np.random.default_rng(0)
+    n_chunks = max(1, args.steps // K)
+    idxs = rng.integers(0, n_windows,
+                        size=(1 + n_chunks, K, b)).astype(np.int32)
+
+    state, metrics = step_fn(state, data, idxs[0])       # compile + warmup
+    float(metrics["loss"])                               # axon fence
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        state, metrics = step_fn(state, data, idxs[1 + i])
+    final_loss = float(metrics["loss"])                  # fence
+    dt = time.perf_counter() - t0
+    sps = n_chunks * K / dt
+
+    log(f"{sps:.2f} steps/s ({n_chunks}x{K} steps in {dt:.2f}s), "
+        f"loss {final_loss:.1f}")
+    print(json.dumps({"config": cfg.name, "overrides": overrides,
+                      "batch": b, "k": K, "steps_per_sec": round(sps, 2)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

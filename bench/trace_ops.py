@@ -103,15 +103,23 @@ def parse_xplane(outdir, top=40):
 
 def classify(name: str) -> str:
     n = name.lower()
+    if any(k in n for k in ("infeed", "outfeed", "host")):
+        return "infeed/host"
+    if any(k in n for k in ("all-reduce", "all-gather", "collective",
+                            "reduce-scatter")):
+        return "collective"
     if "conv" in n:
         return "conv"
     if any(k in n for k in ("dot", "matmul", "einsum")):
         return "matmul"
-    if any(k in n for k in ("fusion", "multiply", "add", "select", "gelu",
-                            "tanh", "logistic", "exp", "log")):
-        return "fusion/elementwise"
-    if any(k in n for k in ("copy", "transpose", "reshape", "bitcast")):
+    # layout/copy BEFORE the generic fusion bucket: XLA emits copy/
+    # transpose fusions whose names carry both markers, and the whole
+    # point of this table is to itemize the copy share
+    if any(k in n for k in ("copy", "transpose", "bitcast")):
         return "layout/copy"
+    if any(k in n for k in ("fusion", "multiply", "add", "select", "gelu",
+                            "tanh", "logistic", "exp", "log", "reshape")):
+        return "fusion/elementwise"
     if any(k in n for k in ("gather", "scatter", "dynamic")):
         return "gather/scatter"
     if any(k in n for k in ("while", "condition", "body")):
@@ -127,6 +135,9 @@ def main() -> int:
     p.add_argument("--what", choices=["train", "generate"], default="train")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--logits-dtype", default=None,
+                   choices=[None, "float32", "bfloat16"],
+                   help="override ModelSpec.logits_dtype for the A/B")
     p.add_argument("--out", default=None,
                    help="trace dir (default: temp); reuse with --parse-only")
     p.add_argument("--parse-only", action="store_true")
@@ -134,8 +145,13 @@ def main() -> int:
 
     outdir = args.out or os.path.join(tempfile.gettempdir(), "mvae_trace")
     if not args.parse_only:
+        import dataclasses
+
         from musicvae_tpu.config import get_config
         cfg = get_config(args.config)
+        if args.logits_dtype:
+            cfg = cfg.replace(model=dataclasses.replace(
+                cfg.model, logits_dtype=args.logits_dtype))
         run_traced(cfg, args.what, args.steps, outdir)
         log(f"trace written to {outdir}")
 

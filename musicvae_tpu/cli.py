@@ -242,6 +242,17 @@ def cmd_generate(args) -> int:
     params = jax.device_put(state.params, replicated(mesh))
     gen = make_generate_fn(cfg, model, mesh=mesh)
     kw = {}
+    if args.seed_midi:
+        seed_kw, err = _seed_from_midi(
+            cfg, model, params, args.seed_midi, args.encode,
+            args.samples, jax.random.key(args.seed))
+        if err:
+            print(f"error: {err}", file=sys.stderr)
+            return 2
+        kw.update(seed_kw)
+    elif args.encode:
+        print("error: --encode needs --seed-midi", file=sys.stderr)
+        return 2
     if cfg.model.kind == "cond" and (args.chord is not None
                                      or args.key is not None):
         import jax.numpy as jnp
@@ -269,13 +280,155 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def _seed_from_midi(cfg, model, params, path: str, encode: bool,
+                    num_samples: int, key):
+    """Seed-bar (and, with ``encode``, encoded-latent) kwargs for the
+    generation sweep from a real MIDI file (SURVEY §3.3: prev_bar = seed,
+    'zeros or a real bar'). Returns (kwargs, error_message_or_None).
+
+    The LAST bar of the file becomes the first prev-bar conditioning for
+    every sample; with ``encode`` the last ``model.num_bars``-bar window
+    (zero-padded at the front if the piece is shorter) is encoded and a
+    per-sample posterior draw pins the first phrase's latent (z0 /
+    z_phrase0) — continuation from the music itself rather than the prior.
+    """
+    import jax
+    import jax.numpy as jnp
+    from musicvae_tpu.midi import tensorize
+
+    with open(path, "rb") as f:
+        data = f.read()
+    bars = tensorize.corpus_to_bars([data], cfg.midi, as_uint8=True)[0]
+    if bars.shape[0] == 0:
+        return {}, f"{path} contains no bars after tensorization"
+    if not cfg.model.use_prev_bar and not encode:
+        print(f"warning: config {cfg.name!r} has use_prev_bar=False — the "
+              f"seed bar does not condition the decoder; use --encode to "
+              f"seed through the latent instead", file=sys.stderr)
+    seed_bar = jnp.broadcast_to(
+        jnp.asarray(bars[-1], jnp.uint8)[None],
+        (num_samples,) + bars.shape[1:])
+    kw = {"seed_bar": seed_bar}
+    if encode:
+        from musicvae_tpu.generate import make_encode_fn
+        nb = cfg.model.num_bars
+        window = bars[-nb:]
+        if window.shape[0] < nb:
+            window = np.concatenate(
+                [np.zeros((nb - window.shape[0],) + window.shape[1:],
+                          np.uint8), window], axis=0)
+        x = jnp.broadcast_to(
+            jnp.asarray(window, jnp.float32)[None],
+            (num_samples, nb) + window.shape[1:])
+        ekw = {}
+        if cfg.model.kind == "cond":
+            from musicvae_tpu.midi import labels as labels_mod
+            hists = labels_mod.bar_pc_histograms(window)
+            k = labels_mod.key_from_hist(hists.sum(0))
+            c = labels_mod.chord_from_hist(hists.sum(0), fallback=k)
+            ekw = {"chord": jnp.full((num_samples, nb), c, jnp.int32),
+                   "key_sig": jnp.full((num_samples,), k, jnp.int32)}
+        kw.update(make_encode_fn(cfg, model)(params, x, key, **ekw))
+    return kw, None
+
+
+def cmd_reconstruct(args) -> int:
+    """MIDI in → encode → posterior sample → teacher-forced decode →
+    binarize → MIDI out (the reference's eval-time reconstruct), plus
+    cell-level P/R/F1 of the reconstruction against the input roll."""
+    import jax
+    import jax.numpy as jnp
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.generate import bars_to_midi, reconstruct_fn
+    from musicvae_tpu.midi import tensorize
+    from musicvae_tpu.train import create_state
+
+    manager = checkpoints.make_manager(args.ckpt_dir)
+    if manager.latest_step() is None:
+        print(f"error: no checkpoint in {args.ckpt_dir}; reconstruct needs "
+              f"a trained model", file=sys.stderr)
+        return 2
+    cfg = checkpoints.restore_config(manager)
+    if args.config != cfg.name:
+        print(f"note: checkpoint was trained with config {cfg.name!r}; "
+              f"using it", file=sys.stderr)
+    model, state = create_state(cfg)
+    state, _ = checkpoints.restore(manager, state)
+    rec = reconstruct_fn(cfg, model)
+
+    paths = sorted(glob.glob(args.midi_glob))
+    if not paths:
+        print(f"no MIDI files match {args.midi_glob}", file=sys.stderr)
+        return 1
+    os.makedirs(args.out_dir, exist_ok=True)
+    nb = cfg.model.num_bars
+    lo, hi = cfg.midi.pitch_lo, cfg.midi.pitch_hi
+    for path in paths:
+        with open(path, "rb") as f:
+            data = f.read()
+        bars = tensorize.corpus_to_bars([data], cfg.midi, as_uint8=True)[0]
+        n = bars.shape[0]
+        if n == 0:
+            print(f"warning: {path} has no bars; skipped", file=sys.stderr)
+            continue
+        pad = (-n) % nb
+        if pad:
+            bars = np.concatenate(
+                [bars, np.zeros((pad,) + bars.shape[1:], np.uint8)], axis=0)
+        ckw = {}
+        if cfg.model.kind == "cond":
+            from musicvae_tpu.midi import labels as labels_mod
+            hists = labels_mod.bar_pc_histograms(bars)
+            ksig = labels_mod.key_from_hist(hists.sum(0))
+        # fixed [1, nb, T, P] batch shape: ONE compile, then a dispatch
+        # per window (window counts vary per file; a [W, ...] batch would
+        # recompile for every distinct W — minutes each on remote-compile
+        # TPU setups)
+        outs = []
+        for w in range(bars.shape[0] // nb):
+            win = bars[w * nb:(w + 1) * nb]
+            x = jnp.asarray(win, jnp.float32)[None]
+            if cfg.model.kind == "cond":
+                from musicvae_tpu.midi import labels as labels_mod
+                c = labels_mod.chord_from_hist(
+                    hists[w * nb:(w + 1) * nb].sum(0), fallback=ksig)
+                ckw = {"chord": jnp.full((1, nb), c, jnp.int32),
+                       "key_sig": jnp.full((1,), ksig, jnp.int32)}
+            outs.append(np.asarray(
+                rec(state.params, x, jax.random.key(args.seed + w), **ckw)))
+        roll = np.concatenate([o[0] for o in outs], axis=0)[:n]
+        # cell-level reconstruction quality vs the input, crop-masked
+        t = bars[:n, :, lo:hi].astype(np.float64)
+        r = roll[:n, :, lo:hi].astype(np.float64)
+        tp = float((r * t).sum())
+        prec = tp / max(r.sum(), 1.0)
+        recall = tp / max(t.sum(), 1.0)
+        f1 = 2 * prec * recall / max(prec + recall, 1e-9)
+        out_path = os.path.join(
+            args.out_dir,
+            os.path.splitext(os.path.basename(path))[0] + ".recon.mid")
+        with open(out_path, "wb") as f:
+            f.write(bars_to_midi(roll.astype(np.uint8), cfg))
+        print(f"{path}: {n} bars -> {out_path}  "
+              f"precision={prec:.3f} recall={recall:.3f} f1={f1:.3f}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Persistent generation service over line-delimited JSON.
 
     Protocol (one JSON object per line on stdin → one per line on stdout):
-      request:  {"id": any, "seed": int, "chord": int?, "key": int?}
+      request:  {"id": any, "seed": int, "chord": int?, "key": int?,
+                 "seed_midi_b64": str?}
       response: {"id": any, "midi_b64": [str, ...], "density": float}
       error:    {"id": any, "error": str}
+
+    ``chord``/``key`` (cond models) never change the trace signature —
+    omitted fields are filled with host-random classes so the program
+    compiled at startup serves every conditioned request.
+    ``seed_midi_b64`` (base64 SMF bytes) seeds the prev-bar conditioning
+    with the file's last bar; it uses a second trace, pre-compiled at
+    startup under --warm-seed.
     EOF on stdin ends the service. The generation program compiles once at
     startup for the fixed (--samples, --bars) shape; every request is then
     a single on-device sweep + MIDI export — the serving path the
@@ -344,6 +497,16 @@ def cmd_serve(args) -> int:
     t0 = time.perf_counter()
     warm = gen(params, jax.random.key(0), **cond_kwargs({}, 0))
     float(np.asarray(warm).sum())           # fence: compile finishes here
+    if args.warm_seed:
+        # seeded requests (seed_midi_b64) use a second trace (seed_bar
+        # array vs None); pre-compile it so no request ever waits on a
+        # recompile (compiles are minutes-slow on remote-compile setups)
+        import jax.numpy as jnp
+        zb = jnp.zeros((args.samples, cfg.midi.steps_per_bar,
+                        cfg.midi.num_pitches), jnp.uint8)
+        warm = gen(params, jax.random.key(0), seed_bar=zb,
+                   **cond_kwargs({}, 0))
+        float(np.asarray(warm).sum())
     print(f"serving {cfg.name} (step {int(jax.device_get(state.step))}): "
           f"{args.samples}x{args.bars} bars/request, compiled in "
           f"{time.perf_counter() - t0:.1f}s; reading JSON lines on stdin",
@@ -360,6 +523,17 @@ def cmd_serve(args) -> int:
             rid = req.get("id")
             seed = int(req.get("seed", served))
             kw = cond_kwargs(req, seed)
+            if req.get("seed_midi_b64"):
+                import jax.numpy as jnp
+                from musicvae_tpu.midi import tensorize
+                sb = tensorize.corpus_to_bars(
+                    [base64.b64decode(req["seed_midi_b64"])], cfg.midi,
+                    as_uint8=True)[0]
+                if sb.shape[0] == 0:
+                    raise ValueError("seed MIDI contains no bars")
+                kw["seed_bar"] = jnp.broadcast_to(
+                    jnp.asarray(sb[-1], jnp.uint8)[None],
+                    (args.samples,) + sb.shape[1:])
             bars = np.asarray(gen(params, jax.random.key(seed), **kw))
             midis = [base64.b64encode(bars_to_midi(bars[i], cfg)).decode()
                      for i in range(bars.shape[0])]
@@ -441,9 +615,28 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="conditional models: key class 0..23, "
                         "default random per sample")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed-midi", default=None,
+                   help="continue from real music: the file's last bar "
+                        "seeds the prev-bar conditioning (SURVEY §3.3 "
+                        "'zeros or a real bar')")
+    p.add_argument("--encode", action="store_true",
+                   help="with --seed-midi: also start the latent path "
+                        "from the encoded posterior of the file's last "
+                        "window instead of the prior")
     p.add_argument("--out-dir", default="generated")
     p.add_argument("--write-midis", type=int, default=8)
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("reconstruct",
+                       help="MIDI in -> encode -> decode -> MIDI out "
+                            "(eval-time reconstruction + P/R/F1)")
+    _add_common(p)
+    p.add_argument("--midi-glob", required=True,
+                   help="glob of .mid files to reconstruct")
+    p.add_argument("--out-dir", default="reconstructed")
+    p.add_argument("--seed", type=int, default=0,
+                   help="posterior-sample PRNG seed")
+    p.set_defaults(fn=cmd_reconstruct)
 
     p = sub.add_parser("serve", help="persistent generation service "
                                      "(JSON lines on stdin/stdout)")
@@ -454,6 +647,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--sample-mode", choices=["threshold", "bernoulli"],
                    default="threshold")
     p.add_argument("--sample-temperature", type=float, default=1.0)
+    p.add_argument("--warm-seed", action="store_true",
+                   help="also pre-compile the seeded-request "
+                        "(seed_midi_b64) program at startup so no request "
+                        "ever waits on a compile")
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)

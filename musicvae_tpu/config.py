@@ -54,6 +54,13 @@ class ModelSpec:
     cond_embed_dim: int = 16
     use_prev_bar: bool = True            # decoder conditions on previous bar
     dtype: str = "bfloat16"              # compute dtype (params stay fp32)
+    # Decoder-head logits dtype. The head materializes [B,N,96,128] —
+    # the largest activation in the train step; emitting it bf16 halves
+    # its HBM write+read while the loss still accumulates in f32
+    # (ops/losses.bce_with_logits upcasts inside the fused reduction).
+    # float32 preserves exact round-2 numerics; see BASELINE.md for the
+    # measured A/B on chip.
+    logits_dtype: str = "float32"
     # First encoder conv via the banded-MXU Pallas kernel
     # (ops/conv1_pallas.py) instead of XLA's conv emitter; checkpoint
     # layout is identical either way. See BASELINE.md utilization notes

@@ -28,7 +28,12 @@ class _FirstConvPallas(nn.Module):
     """Drop-in for the trunk's first nn.Conv (+gelu) via the banded-MXU
     Pallas kernel (ops/conv1_pallas.py). Declares the IDENTICAL parameter
     pytree ({kernel: [3,3,1,C], bias: [C]}) under the same module name, so
-    checkpoints are interchangeable with the XLA path."""
+    checkpoints are interchangeable with the XLA path.
+
+    Gradient contract (conv1_pallas module docstring): the kernel's VJP
+    returns dx = 0 — this layer must only ever see raw rolls / binarized
+    feedback as input (true for every current caller: ConvTrunk layer 0),
+    never a differentiated activation."""
 
     features: int
     out_dtype: str = "bfloat16"
@@ -114,6 +119,7 @@ class BarDecoderHead(nn.Module):
     steps_per_bar: int = 96
     num_pitches: int = 128
     dtype: str = "bfloat16"
+    logits_dtype: str = "float32"              # ModelSpec.logits_dtype
 
     @nn.compact
     def __call__(self, v: jax.Array) -> jax.Array:
@@ -137,7 +143,10 @@ class BarDecoderHead(nn.Module):
         h = nn.ConvTranspose(1, (3, 3), strides=(2, 2), padding="SAME",
                              transpose_kernel=True,
                              dtype=dt, param_dtype=jnp.float32)(h)
-        return h[..., 0].astype(jnp.float32)   # logits in fp32
+        # logits_dtype="bfloat16" halves the HBM footprint of the step's
+        # largest activation; every consumer (BCE loss, binarize) upcasts
+        # to f32 inside its own fusion
+        return h[..., 0].astype(_dtype(self.logits_dtype))
 
 
 class ScanGRU(nn.Module):

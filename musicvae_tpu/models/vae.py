@@ -66,7 +66,7 @@ class BarDecoder(nn.Module):
                                         param_dtype=jnp.float32)
         self.head = layers.BarDecoderHead(
             spec.dec_channels, self.midi.steps_per_bar,
-            self.midi.num_pitches, spec.dtype)
+            self.midi.num_pitches, spec.dtype, spec.logits_dtype)
 
     # -- helpers -------------------------------------------------------------
 

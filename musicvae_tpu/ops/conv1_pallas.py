@@ -27,9 +27,13 @@ t=-1 time edge is a zero row prepended in-kernel.
 Gradients: the kernel carries a custom VJP. dx is never needed by
 callers (the input is always data or a binarized sample — the piano-roll
 x, the teacher-forced previous bar, or generation feedback), so the VJP
-returns a zero dx by design and asserts nothing consumes it (see
-first_conv_s2's docstring). dw/db are computed in XLA from the same
-banded views (a [128, rows] x [rows, 1024] matmul — also MXU-shaped).
+returns a ZERO dx by design. NOTE this contract is documented, not
+runtime-checked: a call site that differentiates through the conv INPUT
+(none exists — the only sites are layers._FirstConvPallas on raw rolls)
+would silently get zero input gradients. Keep any new call site on
+non-differentiated inputs, or thread a real dx first. dw/db are computed
+in XLA from the same banded views (a [128, rows] x [rows, 1024] matmul —
+also MXU-shaped).
 
 Numerics: matmuls accumulate in f32 (preferred_element_type); bf16 inputs
 match the XLA path's conv dtype. Equivalence vs flax nn.Conv is asserted

@@ -76,10 +76,12 @@ def _bce_bwd_kernel(n_rows_ref, g_ref, logits_ref, x_ref, mask_ref, dl_ref):
 
 
 def _flatten_rows(logits, x, mask):
-    """[..., P] → ([M, P], [M, P], [1, P]) with mask broadcast to a row."""
+    """[..., P] → ([M, P], [M, P], [1, P]) with mask broadcast to a row.
+    Inputs upcast to f32 so bf16 logits / uint8 rolls keep the kernel's
+    accumulate numerics identical to the jnp path."""
     p = logits.shape[-1]
-    l2 = logits.reshape(-1, p)
-    x2 = x.reshape(-1, p)
+    l2 = logits.reshape(-1, p).astype(jnp.float32)
+    x2 = x.reshape(-1, p).astype(jnp.float32)
     m2 = jnp.broadcast_to(mask.astype(jnp.float32), (p,)).reshape(1, p)
     return l2, x2, m2
 

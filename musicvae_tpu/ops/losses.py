@@ -29,6 +29,13 @@ def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     max(l, 0) - l*x + log1p(exp(-|l|)) — identical formula in the torch
     oracle (it is torch's own BCEWithLogits formulation).
     """
+    # f32 accumulate regardless of input dtype: bf16 logits (the decoder
+    # head's HBM-saving output format) and uint8 targets (the resident
+    # gather's roll dtype) upcast INSIDE the elementwise chain — XLA fuses
+    # the converts into this fusion, so no f32 copy of either tensor is
+    # ever materialized in HBM.
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
     return (jnp.maximum(logits, 0.0) - logits * targets
             + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 

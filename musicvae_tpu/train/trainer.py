@@ -75,7 +75,12 @@ def elbo_from_outputs(cfg: Config, logits, x, latents, beta,
     batch = logits.shape[0]
     if use_pallas:
         from musicvae_tpu.ops.fused_elbo import masked_bce_sum_pallas
-        recon = masked_bce_sum_pallas(logits, x, mask) / batch
+        # f32 x up front: custom_vjp primals must be inexact for the bwd
+        # rule (uint8 resident-gather rolls would otherwise need float0
+        # cotangent plumbing); the kernel materializes padded inputs
+        # anyway, so this costs nothing extra
+        recon = masked_bce_sum_pallas(logits, x.astype(jnp.float32),
+                                      mask) / batch
     else:
         recon = losses.masked_bce_sum(logits, x, mask) / batch
     kl = sum(losses.kl_diag_gaussian(mu, lv) for mu, lv in latents) / batch
@@ -200,8 +205,11 @@ def _make_window_gather(cfg: Config) -> Callable:
     def gather(data, idx):
         starts = jnp.take(data["starts"], idx)
         bar_idx = starts[:, None] + jnp.arange(nb, dtype=starts.dtype)
-        batch = {"x": jnp.take(data["bars"], bar_idx,
-                               axis=0).astype(jnp.float32)}
+        # x stays uint8 out of the gather: the model's first conv casts
+        # straight to its compute dtype and the loss upcasts inside its
+        # elementwise fusion (ops/losses.bce_with_logits), so the 4x-
+        # larger f32 copy of the batch is never materialized in HBM
+        batch = {"x": jnp.take(data["bars"], bar_idx, axis=0)}
         if "chords" in data:
             batch["chord"] = jnp.repeat(
                 jnp.take(data["chords"], idx)[:, None], nb, axis=1)

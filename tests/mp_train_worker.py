@@ -9,8 +9,20 @@ path under test. Prints one JSON line with the final loss and a param
 checksum for the parent to compare across processes and against the
 single-process baseline.
 
-Usage: python mp_train_worker.py <coordinator> <num_procs> <proc_id>
+Usage: python mp_train_worker.py <coordinator> <num_procs> <proc_id> [mode]
 (also runnable with num_procs=1 for the single-process baseline).
+
+Modes (VERDICT r2 #3 — the multi-host caveats, each across REAL process
+boundaries):
+- resident (default): production resident indexed train loop, DP mesh.
+- tp:        DP×TP — params model-axis-sharded across processes via
+             shard_params' put_global path (plain device_put rejects
+             non-addressable devices).
+- streaming: the streaming (iterator) train path; every process serves
+             the identically-seeded iterator, put_tree uploads shards.
+- desync:    process 1 deliberately perturbs its local corpus; the
+             startup cross-process hash guard must fail fast on EVERY
+             process (prints {"desync_caught": true}).
 """
 
 import json
@@ -21,6 +33,7 @@ import sys
 def main() -> int:
     coordinator, num_procs, proc_id = (sys.argv[1], int(sys.argv[2]),
                                        int(sys.argv[3]))
+    mode = sys.argv[4] if len(sys.argv) > 4 else "resident"
     os.environ["JAX_PLATFORMS"] = "cpu"
     per_proc = 8 // num_procs
     os.environ["XLA_FLAGS"] = (
@@ -42,6 +55,8 @@ def main() -> int:
     from musicvae_tpu.parallel import make_mesh
     from musicvae_tpu.train import train
 
+    mesh_spec = (MeshSpec(data=2, model=4) if mode == "tp"
+                 else MeshSpec(data=8, model=1))
     cfg = C2_GRU_4BAR.replace(
         model=dataclasses.replace(
             C2_GRU_4BAR.model, enc_channels=(4, 8, 8, 8, 8),
@@ -50,17 +65,70 @@ def main() -> int:
         train=dataclasses.replace(
             C2_GRU_4BAR.train, batch_size=16, num_steps=6, log_every=2,
             ckpt_every=6, learning_rate=1e-3),
-        mesh=MeshSpec(data=8, model=1))
+        mesh=mesh_spec)
     ds = PianoRollDataset.from_corpus(
         synth_corpus(num_pieces=4, n_bars=8, seed=0), cfg.midi,
         cfg.model.num_bars)
     mesh = make_mesh(cfg.mesh)
     assert mesh.devices.size == 8
 
-    _, state, metrics = train(cfg, ds, mesh=mesh)
-    param_sum = float(sum(
-        np.abs(np.asarray(jax.device_get(p), dtype=np.float64)).sum()
-        for p in jax.tree.leaves(state.params)))
+    if mode == "desync":
+        if proc_id == 1:
+            ds.bars = ds.bars.copy()
+            ds.bars[0, 0, 60] ^= 1    # one flipped cell on one host
+        try:
+            train(cfg, ds, mesh=mesh)
+        except RuntimeError as e:
+            assert "divergence" in str(e), e
+            print(json.dumps({"proc": proc_id, "desync_caught": True}),
+                  flush=True)
+            return 0
+        print(json.dumps({"proc": proc_id, "desync_caught": False}),
+              flush=True)
+        return 0
+
+    if mode == "tp":
+        # DP×TP across the process boundary: the model axis spans both
+        # processes' devices, so every param shard placement exercises
+        # put_global (jax.device_put would raise on non-addressable devs)
+        from musicvae_tpu.parallel import (replicated, shard_batch,
+                                           shard_params)
+        from musicvae_tpu.parallel.mesh import put_tree
+        from musicvae_tpu.train import (TrainState, create_state,
+                                        make_optimizer, make_train_step)
+        model, state = create_state(cfg)
+        sharded = shard_params(state.params, mesh)
+        opt = make_optimizer(cfg)
+        state = TrainState(params=sharded, opt_state=opt.init(sharded),
+                           step=put_tree(state.step, replicated(mesh)),
+                           rng=put_tree(state.rng, replicated(mesh)))
+        step_fn = make_train_step(cfg, model, opt=opt, use_pallas=False)
+        batch = ds.batch(np.arange(cfg.train.batch_size) % len(ds))
+        b = shard_batch(batch, mesh)
+        metrics = None
+        for _ in range(6):
+            state, metrics = step_fn(state, b)
+    elif mode == "streaming":
+        _, state, metrics = train(
+            cfg, ds.iterator(cfg.train.batch_size, seed=3), mesh=mesh)
+    else:
+        _, state, metrics = train(cfg, ds, mesh=mesh)
+
+    if mode == "tp":
+        # params are globally sharded across processes (not fully
+        # addressable here): reduce to a replicated scalar on device
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _abs_sum(params):
+            return sum(jnp.sum(jnp.abs(p.astype(jnp.float32)))
+                       for p in jax.tree.leaves(params))
+
+        param_sum = float(jax.device_get(_abs_sum(state.params)))
+    else:
+        param_sum = float(sum(
+            np.abs(np.asarray(jax.device_get(p), dtype=np.float64)).sum()
+            for p in jax.tree.leaves(state.params)))
     print(json.dumps({
         "proc": proc_id,
         "step": int(jax.device_get(state.step)),

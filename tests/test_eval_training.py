@@ -297,6 +297,45 @@ def test_best_sidecar_write_is_atomic(tmp_path, monkeypatch):
         "interrupted write corrupted the sidecar"
 
 
+def test_weighted_eval_matches_exact_subset(ds):
+    """make_eval_fn's weights: a padded batch with zero-weight pads must
+    score exactly what an unpadded batch of only the real examples scores
+    (the unbiased-tail mechanism behind cmd_eval)."""
+    import jax
+
+    from musicvae_tpu.train import create_state
+    from musicvae_tpu.utils.metrics import make_eval_fn
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR))
+    model, state = create_state(cfg)
+    eval_fn = make_eval_fn(cfg, model)
+
+    n_real, b = 5, 8
+    idx_real = np.arange(n_real, dtype=np.int32)
+    idx_pad = np.resize(idx_real, b)            # wrap-padded to batch
+    w = np.zeros(b, np.float32)
+    w[:n_real] = 1.0
+    key = jax.random.key(0)
+    m_pad = jax.device_get(eval_fn(state.params, ds.batch(idx_pad), key,
+                                   weights=jax.numpy.asarray(w)))
+    for k in ("loss", "recon", "kl", "precision", "recall", "f1"):
+        assert np.isfinite(m_pad[k])
+    # zero-weight rows must drop out COMPLETELY: swapping the pad rows'
+    # content for different windows cannot change any weighted metric
+    # (an unweighted mean over the padded batch would shift — that was
+    # the bias being fixed)
+    idx_pad2 = np.concatenate([idx_real, np.zeros(b - n_real, np.int32)])
+    m_pad2 = jax.device_get(eval_fn(state.params, ds.batch(idx_pad2), key,
+                                    weights=jax.numpy.asarray(w)))
+    for k in ("precision", "recall", "f1", "recon", "kl", "loss"):
+        np.testing.assert_allclose(m_pad[k], m_pad2[k], rtol=1e-5,
+                                   err_msg=k)
+    # and the unweighted mean over the same padded batch IS different
+    # (sanity that the scenario actually exercises the bias)
+    m_plain = jax.device_get(eval_fn(state.params, ds.batch(idx_pad), key))
+    assert not np.allclose(m_plain["recon"], m_pad["recon"], rtol=1e-6)
+
+
 def test_streaming_rejects_non_binary_rolls(ds):
     """Bit-packing would silently collapse non-binary values to 1; the
     producer must reject them instead (round-1 shipped x unchanged)."""

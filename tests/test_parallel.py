@@ -262,6 +262,56 @@ def test_tp_rules_cover_full_weight_surface():
     assert len(sharded) / len(flat) > 0.6
 
 
+def test_tp_with_pallas_conv1_matches_replicated():
+    """Advisor finding (round 2): the widened TP rule also shards Conv_0,
+    whose params feed the Pallas first-conv kernel when use_pallas_conv1 —
+    model-axis-sharded weights into pallas_call under GSPMD was untested.
+    Pin it: TP×DP training with the Pallas first conv must reproduce the
+    replicated XLA-conv run (the kernel is numerically equivalent and
+    GSPMD gathers the sharded operand)."""
+    import optax
+    from musicvae_tpu.parallel import param_shardings, shard_params
+    from musicvae_tpu.parallel.mesh import MODEL_AXIS
+    from musicvae_tpu.train import TrainState, make_optimizer
+
+    # first conv channels = 16 so the model axis (4) divides them and the
+    # TP rule actually shards the Pallas-consumed Conv_0 kernel
+    cfg = tiny(C2_GRU_4BAR, mesh=MeshSpec(data=2, model=4))
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, enc_channels=(16, 8, 8, 8, 8), use_pallas_conv1=True))
+    rng = np.random.default_rng(2)
+    batch = {"x": (rng.random((8, 4, 96, 128)) < 0.05).astype(np.float32)}
+
+    ref_cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, use_pallas_conv1=False))
+    p_rep, m_rep = _run_steps(ref_cfg, MeshSpec(data=1), batch)
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    model, state = create_state(cfg)
+    sharded = shard_params(state.params, mesh)
+    sh = param_shardings(state.params, mesh)
+    flat = {"/".join(str(getattr(k, "key", k)) for k in p): s.spec
+            for p, s in jax.tree_util.tree_leaves_with_path(sh)}
+    conv0_specs = [s for n, s in flat.items()
+                   if n.endswith("Conv_0/kernel") and "feat" in n]
+    assert conv0_specs and all(MODEL_AXIS in str(s) for s in conv0_specs), \
+        "scenario must actually shard the Pallas-consumed Conv_0"
+    opt = make_optimizer(cfg)
+    state = TrainState(params=sharded, opt_state=opt.init(sharded),
+                       step=jax.device_put(state.step, replicated(mesh)),
+                       rng=jax.device_put(state.rng, replicated(mesh)))
+    step = make_train_step(cfg, model, opt=opt, use_pallas=False)
+    b = shard_batch(batch, mesh)
+    metrics = None
+    for _ in range(3):
+        state, metrics = step(state, b)
+    np.testing.assert_allclose(m_rep["loss"],
+                               jax.device_get(metrics["loss"]), rtol=1e-4)
+    for a, c in zip(jax.tree.leaves(p_rep),
+                    jax.tree.leaves(jax.device_get(state.params))):
+        np.testing.assert_allclose(a, c, atol=1e-4)
+
+
 def test_tp_rule_rank_mismatch_falls_back_replicated():
     """A rule whose PartitionSpec has more dims than a matching leaf must
     fall back to replicated, not crash (rank check precedes the
