@@ -56,6 +56,32 @@ def run_traced(cfg, what, steps, outdir):
             for i in range(steps):
                 state, m = step(state, data, idx[i])
             float(m["loss"])
+    elif what == "train_multi":
+        # PRODUCTION regime: all `steps` steps in ONE scanned dispatch —
+        # per-dispatch staging (weight/index copy-start windows, which
+        # dominate the single-step trace) amortizes across the scan, so
+        # this table reflects what the 460+ steps/s path actually spends
+        # per step. Compare against --what train to separate staging
+        # latency from per-step compute.
+        from musicvae_tpu.train import make_train_step_indexed_multi
+        model, state = create_state(cfg)
+        b = cfg.train.batch_size
+        n_bars_total = 4096
+        n_windows = n_bars_total - cfg.model.num_bars + 1
+        data = jax.device_put({
+            "bars": (jax.random.uniform(jax.random.key(0),
+                                        (n_bars_total, 96, 128)) < 0.08
+                     ).astype(jnp.uint8),
+            "starts": jnp.arange(n_windows, dtype=jnp.int32),
+        })
+        idx = jnp.asarray(np.random.default_rng(0).integers(
+            0, n_windows, size=(2, steps, b)), jnp.int32)
+        multi = make_train_step_indexed_multi(cfg, model, steps)
+        state, m = multi(state, data, idx[0])
+        float(m["loss"])                                 # compile + fence
+        with jax.profiler.trace(outdir):
+            state, m = multi(state, data, idx[1])
+            float(m["loss"])
     else:
         from musicvae_tpu.generate import make_generate_fn
         from musicvae_tpu.train import create_state
@@ -132,7 +158,8 @@ def classify(name: str) -> str:
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="c2_gru_4bar")
-    p.add_argument("--what", choices=["train", "generate"], default="train")
+    p.add_argument("--what", choices=["train", "train_multi", "generate"],
+                   default="train")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--logits-dtype", default=None,
