@@ -19,7 +19,9 @@ import time
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache.json")
 
-TRAIN_STEPS = 200
+TRAIN_STEPS = 1000    # 10 timed dispatches at K=100: the round-2 value
+                      # (200 = 2 dispatches) was biased low by tunnel
+                      # arrival jitter on so few samples (logs/r3)
 WARMUP = 10
 ORACLE_STEPS = 24     # VERDICT r1 weak #5: 4 was a noisy denominator
 

@@ -414,6 +414,68 @@ def cmd_reconstruct(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """torch state-dict ↔ Orbax checkpoint conversion (SURVEY §3.5's
+    parity clause at the CLI: "ELBO-equivalent reconstructions from the
+    same checkpoints"). One direction per invocation:
+
+      convert --from-torch model.pt --config c2_gru_4bar --out ckpt_dir
+      convert --to-torch ckpt_dir --out model.pt
+
+    --from-torch accepts a bare state_dict or a reference-style
+    {'model': state_dict, ...} bundle; optimizer moments do NOT convert
+    (torch Adam state has no optax pytree correspondence) — the written
+    checkpoint carries a fresh optimizer at --step (default 0).
+    """
+    import jax
+    import jax.numpy as jnp
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.train import create_state
+
+    if bool(args.from_torch) == bool(args.to_torch):
+        print("error: convert needs exactly one of --from-torch / "
+              "--to-torch", file=sys.stderr)
+        return 2
+    if args.from_torch:
+        import torch
+        from musicvae_tpu.checkpoints.torch_convert import \
+            torch_state_dict_to_flax
+        from musicvae_tpu.config import get_config
+        cfg = get_config(args.config)
+        sd = torch.load(args.from_torch, map_location="cpu",
+                        weights_only=True)
+        if isinstance(sd, dict) and "model" in sd \
+                and not any("." in k for k in sd):
+            sd = sd["model"]        # reference-style training bundle
+        params = torch_state_dict_to_flax(sd, cfg)
+        _, state = create_state(cfg)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, params),
+            step=jnp.asarray(args.step, jnp.int32))
+        mgr = checkpoints.make_manager(args.out, keep=1)
+        checkpoints.save(mgr, state, cfg, wait=True)
+        n = sum(np.asarray(p).size for p in jax.tree.leaves(params))
+        print(f"converted {args.from_torch} -> {args.out} "
+              f"(config {cfg.name}, {n} params, step {args.step})")
+    else:
+        import torch
+        from musicvae_tpu.checkpoints.torch_convert import \
+            flax_params_to_torch_state_dict
+        mgr = checkpoints.make_manager(args.to_torch)
+        if mgr.latest_step() is None:
+            raise FileNotFoundError(f"no checkpoint in {args.to_torch}")
+        cfg = checkpoints.restore_config(mgr)
+        _, state = create_state(cfg)
+        state, _ = checkpoints.restore(mgr, state)
+        sd = flax_params_to_torch_state_dict(
+            jax.device_get(state.params), cfg)
+        torch.save(sd, args.out)
+        print(f"converted {args.to_torch} (config {cfg.name}, step "
+              f"{int(jax.device_get(state.step))}) -> {args.out} "
+              f"({len(sd)} tensors)")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Persistent generation service over line-delimited JSON.
 
@@ -637,6 +699,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--seed", type=int, default=0,
                    help="posterior-sample PRNG seed")
     p.set_defaults(fn=cmd_reconstruct)
+
+    p = sub.add_parser("convert",
+                       help="torch state-dict <-> Orbax checkpoint")
+    _add_common(p)
+    p.add_argument("--from-torch", default=None, metavar="PT",
+                   help="torch .pt state_dict (or {'model': ...} bundle) "
+                        "to import; writes an Orbax checkpoint to --out")
+    p.add_argument("--to-torch", default=None, metavar="CKPT_DIR",
+                   help="Orbax checkpoint dir to export; writes a torch "
+                        "state_dict to --out")
+    p.add_argument("--out", required=True,
+                   help="destination (ckpt dir for --from-torch, .pt for "
+                        "--to-torch)")
+    p.add_argument("--step", type=int, default=0,
+                   help="--from-torch: step number for the written "
+                        "checkpoint")
+    p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("serve", help="persistent generation service "
                                      "(JSON lines on stdin/stdout)")

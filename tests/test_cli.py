@@ -270,6 +270,51 @@ def test_serve_seed_midi_request(tmp_path, capsys, monkeypatch):
     assert "error" in by_id[3]            # bad seed MIDI stays in-band
 
 
+def test_convert_cli_roundtrip(tmp_path, capsys):
+    """`convert` exposes the torch↔orbax converter at the CLI: export a
+    checkpoint to a torch state_dict, and import a torch state_dict into
+    a loadable Orbax checkpoint with bit-identical params."""
+    import jax
+    import torch
+
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.checkpoints.torch_convert import \
+        flax_params_to_torch_state_dict
+    from musicvae_tpu.config import get_config
+    from musicvae_tpu.models import init_params
+    from musicvae_tpu.train import create_state
+
+    # export: tiny checkpoint -> torch state_dict
+    ckpt = _tiny_ckpt(tmp_path, "c2_gru_4bar")
+    pt = tmp_path / "export.pt"
+    assert main(["convert", "--to-torch", ckpt, "--out", str(pt)]) == 0
+    sd = torch.load(str(pt), weights_only=True)
+    assert any(k.endswith("weight_ih") for k in sd), sorted(sd)[:5]
+
+    # import: full-size C1 torch state_dict -> Orbax checkpoint
+    cfg = get_config("c1_conv_bar")
+    _, params = init_params(cfg, jax.random.key(0))
+    src = tmp_path / "src.pt"
+    torch.save(flax_params_to_torch_state_dict(
+        jax.device_get(params), cfg), str(src))
+    out_dir = str(tmp_path / "imported")
+    assert main(["convert", "--from-torch", str(src),
+                 "--config", "c1_conv_bar", "--out", out_dir,
+                 "--step", "7"]) == 0
+    mgr = checkpoints.make_manager(out_dir)
+    _, st = create_state(cfg)
+    st, cfg2 = checkpoints.restore(mgr, st)
+    assert int(st.step) == 7 and cfg2.name == "c1_conv_bar"
+    for a, b in zip(jax.tree.leaves(jax.device_get(st.params)),
+                    jax.tree.leaves(jax.device_get(params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # exactly one direction required
+    assert main(["convert", "--from-torch", "x", "--to-torch", "y",
+                 "--out", "z"]) == 2
+    assert main(["convert", "--out", "z"]) == 2
+
+
 def test_eval_partial_tail_batch_unbiased(tmp_path, capsys):
     """cmd_eval on a dataset whose size is NOT a batch multiple: every
     window scored exactly once via the zero-weighted pad (VERDICT r2
