@@ -200,7 +200,8 @@ def cmd_eval(args) -> int:
             w = np.zeros(b, np.float32)
             w[:n_real] = 1.0
             w = jax.numpy.asarray(w)
-        m = jax.device_get(eval_fn(state.params, ds.batch(idx),
+        m = jax.device_get(eval_fn(state.params,
+                                   ds.batch(idx, x_dtype=np.uint8),
                                    jax.random.key(i), weights=w))
         weights_acc.append(n_real)
         for k, v in m.items():
@@ -482,7 +483,8 @@ def cmd_serve(args) -> int:
     Protocol (one JSON object per line on stdin → one per line on stdout):
       request:  {"id": any, "seed": int, "chord": int?, "key": int?,
                  "seed_midi_b64": str?}
-      response: {"id": any, "midi_b64": [str, ...], "density": float}
+      response: {"id": any, "midi_b64": [str, ...], "density": float,
+                 "latency_ms": float}
       error:    {"id": any, "error": str}
 
     ``chord``/``key`` (cond models) never change the trace signature —
@@ -596,11 +598,15 @@ def cmd_serve(args) -> int:
                 kw["seed_bar"] = jnp.broadcast_to(
                     jnp.asarray(sb[-1], jnp.uint8)[None],
                     (args.samples,) + sb.shape[1:])
+            t_req = time.perf_counter()
             bars = np.asarray(gen(params, jax.random.key(seed), **kw))
             midis = [base64.b64encode(bars_to_midi(bars[i], cfg)).decode()
                      for i in range(bars.shape[0])]
             print(json.dumps({"id": rid, "midi_b64": midis,
-                              "density": float(bars.mean())}), flush=True)
+                              "density": float(bars.mean()),
+                              "latency_ms": round(
+                                  1e3 * (time.perf_counter() - t_req), 1)}),
+                  flush=True)
             served += 1
         except Exception as e:              # protocol errors stay in-band
             print(json.dumps({"id": rid, "error": f"{type(e).__name__}: "

@@ -412,8 +412,12 @@ def train(cfg: Config,
         def run_eval(cur_state) -> Dict[str, float]:
             acc: Dict[str, list] = {}
             for i in range(n_eval_batches):
+                # uint8 rolls: 4x fewer host-link bytes per eval sweep
+                # (the model casts on device; loss/PRF upcast in-fusion —
+                # same numerics, values are exactly {0,1})
                 ebatch = pmesh.put_tree(
-                    eval_data.batch(eval_perm[i * eb:(i + 1) * eb]),
+                    eval_data.batch(eval_perm[i * eb:(i + 1) * eb],
+                                    x_dtype=np.uint8),
                     pmesh.replicated(mesh))
                 em = jax.device_get(
                     eval_fn(cur_state.params, ebatch, jax.random.key(i)))

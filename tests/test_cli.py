@@ -116,6 +116,7 @@ def test_serve_json_protocol(tmp_path, capsys, monkeypatch):
     assert len(lines) == 4
     by_id = {l.get("id"): l for l in lines}
     assert len(by_id[1]["midi_b64"]) == 2
+    assert by_id[1]["latency_ms"] > 0          # per-request serving metric
     # valid SMF bytes and seed-deterministic
     assert base64.b64decode(by_id[1]["midi_b64"][0])[:4] == b"MThd"
     assert by_id[1]["midi_b64"] == by_id[2]["midi_b64"]
