@@ -498,9 +498,26 @@ def cmd_serve(args) -> int:
     a single on-device sweep + MIDI export — the serving path the
     reference's script-per-run workflow cannot offer. Logs go to stderr;
     stdout carries only protocol lines.
+
+    ``--pipeline`` overlaps device compute with host MIDI encoding under
+    load (depth 1): request i+1's sweep is dispatched — JAX dispatch is
+    async — before request i's bars are pulled to host and encoded.
+    Responses stay in request order, and an idle service still answers
+    each request immediately (the pipeline only fills when a next request
+    is already waiting on stdin). It is OFF by default because on the
+    axon tunnel it measures slightly SLOWER than serial handling (3
+    alternating trials, 24×(32×16-bar) requests: serial 3.1/3.0/2.7
+    req/s vs pipelined 2.7/2.5/2.4 — the device→host pull shares the
+    tunnel with the next dispatch, so the overlap buys nothing and adds
+    contention), and because the vectorized SMF writer
+    (midi/smf.py write_smf_arrays) already cut host encode ~19× so the
+    sweep dominates. On hardware with truly concurrent DMA the flag
+    is the right default; the A/B is one flag away.
     """
     import base64
     import json
+    import queue as queue_mod
+    import threading
     import time
 
     import jax
@@ -576,8 +593,52 @@ def cmd_serve(args) -> int:
           f"{time.perf_counter() - t0:.1f}s; reading JSON lines on stdin",
           file=sys.stderr)
 
+    # stdin feeds a queue from a reader thread so the main loop can see
+    # whether a next request is ALREADY waiting (pipeline fill) without
+    # ever blocking a ready response on more input arriving
+    inq: "queue_mod.Queue" = queue_mod.Queue(maxsize=256)
+
+    def _read_stdin():
+        for ln in sys.stdin:
+            inq.put(ln)
+        inq.put(None)                       # EOF sentinel
+
+    threading.Thread(target=_read_stdin, daemon=True).start()
+
     served = 0
-    for line in sys.stdin:
+    errors = 0
+    n_requests = 0  # parsed requests (the default-seed counter; ``served``
+                    # lags dispatch by one while the pipeline is full)
+    pending = []    # at most one in-flight (rid, device_bars, t_req)
+    t_serve0 = None
+
+    def _flush():
+        """Pull the in-flight sweep to host, encode, and answer. Device
+        errors surface here and stay in-band under the request's own id."""
+        nonlocal served, errors
+        if not pending:
+            return
+        rid, dev, t_req = pending.pop()
+        try:
+            bars = np.asarray(dev)
+            midis = [base64.b64encode(bars_to_midi(bars[i], cfg)).decode()
+                     for i in range(bars.shape[0])]
+            print(json.dumps({"id": rid, "midi_b64": midis,
+                              "density": float(bars.mean()),
+                              "latency_ms": round(
+                                  1e3 * (time.perf_counter() - t_req), 1)}),
+                  flush=True)
+            served += 1
+        except Exception as e:
+            errors += 1
+            print(json.dumps({"id": rid, "error": f"{type(e).__name__}: "
+                                                  f"{e}"}), flush=True)
+
+    while True:
+        line = inq.get()
+        if line is None:
+            _flush()
+            break
         line = line.strip()
         if not line:
             continue
@@ -585,7 +646,8 @@ def cmd_serve(args) -> int:
         try:
             req = json.loads(line)
             rid = req.get("id")
-            seed = int(req.get("seed", served))
+            seed = int(req.get("seed", n_requests))
+            n_requests += 1
             kw = cond_kwargs(req, seed)
             if req.get("seed_midi_b64"):
                 import jax.numpy as jnp
@@ -599,19 +661,22 @@ def cmd_serve(args) -> int:
                     jnp.asarray(sb[-1], jnp.uint8)[None],
                     (args.samples,) + sb.shape[1:])
             t_req = time.perf_counter()
-            bars = np.asarray(gen(params, jax.random.key(seed), **kw))
-            midis = [base64.b64encode(bars_to_midi(bars[i], cfg)).decode()
-                     for i in range(bars.shape[0])]
-            print(json.dumps({"id": rid, "midi_b64": midis,
-                              "density": float(bars.mean()),
-                              "latency_ms": round(
-                                  1e3 * (time.perf_counter() - t_req), 1)}),
-                  flush=True)
-            served += 1
+            if t_serve0 is None:
+                t_serve0 = t_req
+            dev = gen(params, jax.random.key(seed), **kw)  # async dispatch
+            _flush()        # encode request i while the device runs i+1
+            pending.append((rid, dev, t_req))
+            if not args.pipeline or inq.empty():
+                _flush()    # idle (or serial mode): answer immediately
         except Exception as e:              # protocol errors stay in-band
+            _flush()        # responses keep request order
+            errors += 1
             print(json.dumps({"id": rid, "error": f"{type(e).__name__}: "
                                                   f"{e}"}), flush=True)
-    print(f"served {served} requests", file=sys.stderr)
+    dt = (time.perf_counter() - t_serve0) if t_serve0 is not None else 0.0
+    rate = f" ({served / dt:.1f} req/s)" if served and dt > 0 else ""
+    print(f"served {served} requests, {errors} errors in {dt:.1f}s{rate}",
+          file=sys.stderr)
     return 0
 
 
@@ -736,6 +801,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="also pre-compile the seeded-request "
                         "(seed_midi_b64) program at startup so no request "
                         "ever waits on a compile")
+    p.add_argument("--pipeline", action="store_true",
+                   help="overlap device compute with host MIDI encoding "
+                        "under load (measured slightly slower over the "
+                        "axon tunnel — see cmd_serve docstring; useful "
+                        "where device->host DMA is truly concurrent)")
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)

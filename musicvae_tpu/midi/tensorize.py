@@ -228,9 +228,47 @@ def roll_to_notes(roll: np.ndarray, spec: MidiSpec,
     return notes
 
 
+def roll_to_note_arrays(roll: np.ndarray, spec: MidiSpec,
+                        ticks_per_quarter: int = 480):
+    """Vectorized ``roll_to_notes``: (pitch, start_tick, end_tick) arrays.
+
+    Same run-extraction semantics (maximal horizontal runs of 1s) and the
+    same (start, pitch, end) ordering as the per-pitch loop — asserted
+    element-wise and, through ``smf.write_smf_arrays``, byte-identical at
+    the SMF level (tests/test_midi.py). All pitches' run boundaries come
+    from two array diffs instead of a Python loop over 128 columns; this
+    plus the array writer is the serving-export hot path (~29 ms/sample
+    in the loop version at realistic densities, sub-ms here).
+    """
+    roll = np.asarray(roll)
+    if roll.ndim == 3:  # bars → flat roll
+        roll = roll.reshape(-1, roll.shape[-1])
+    binary = roll > spec.binarize_threshold if roll.dtype.kind == "f" \
+        else roll.astype(bool)
+    if ticks_per_quarter % spec.steps_per_quarter:
+        raise ValueError("tpq must be a multiple of steps_per_quarter "
+                         "for exact round-trip (SEMANTICS.md §7)")
+    ticks_per_step = ticks_per_quarter // spec.steps_per_quarter
+    # pitch-major padded layout: each pitch's column is an independent
+    # False-bracketed lane, so one diff yields every run boundary; within
+    # a pitch the k-th start pairs with the k-th end (runs don't nest)
+    t_total, n_pitch = binary.shape
+    padded = np.zeros((n_pitch, t_total + 2), dtype=bool)
+    padded[:, 1:-1] = binary.T
+    on = padded[:, 1:] & ~padded[:, :-1]
+    off = ~padded[:, 1:] & padded[:, :-1]
+    pitch, start_step = np.nonzero(on)
+    _, end_step = np.nonzero(off)
+    start = start_step.astype(np.int64) * ticks_per_step
+    end = end_step.astype(np.int64) * ticks_per_step
+    idx = np.lexsort((end, pitch, start))   # roll_to_notes' sort order
+    return pitch[idx], start[idx], end[idx]
+
+
 def bars_to_midi_bytes(bars: np.ndarray, spec: MidiSpec,
                        ticks_per_quarter: int = 480) -> bytes:
-    notes = roll_to_notes(np.asarray(bars), spec, ticks_per_quarter)
+    pitch, start, end = roll_to_note_arrays(np.asarray(bars), spec,
+                                            ticks_per_quarter)
     tempo = int(round(60_000_000 / spec.tempo_bpm))
-    return smf.write_smf(notes, ticks_per_quarter, tempo,
-                         velocity=spec.velocity)
+    return smf.write_smf_arrays(pitch, start, end, ticks_per_quarter,
+                                tempo, velocity=spec.velocity)

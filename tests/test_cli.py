@@ -271,6 +271,37 @@ def test_serve_seed_midi_request(tmp_path, capsys, monkeypatch):
     assert "error" in by_id[3]            # bad seed MIDI stays in-band
 
 
+def test_serve_pipeline_ordering(tmp_path, capsys, monkeypatch):
+    """A backlog of requests under --pipeline (the depth-1 compute/encode
+    pipeline actually fills) comes back strictly in request order, one
+    response per request, bit-identical to the default serial path; an
+    in-band error in the middle must not desync the ordering."""
+    import io
+    import json
+
+    ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+    reqs = [json.dumps({"id": i, "seed": i % 3}) for i in range(10)]
+    reqs.insert(5, "not json")                  # mid-stream protocol error
+    text = "\n".join(reqs) + "\n"
+
+    monkeypatch.setattr("sys.stdin", io.StringIO(text))
+    assert main(["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+                 "--bars", "2", "--samples", "1", "--pipeline"]) == 0
+    out1 = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [l.get("id") for l in out1] == \
+        [0, 1, 2, 3, 4, None, 5, 6, 7, 8, 9]
+    assert "error" in out1[5]
+
+    monkeypatch.setattr("sys.stdin", io.StringIO(text))
+    assert main(["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+                 "--bars", "2", "--samples", "1"]) == 0
+    out2 = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [(l.get("id"), l.get("midi_b64")) for l in out1] == \
+           [(l.get("id"), l.get("midi_b64")) for l in out2]
+
+
 def test_convert_cli_roundtrip(tmp_path, capsys):
     """`convert` exposes the torch↔orbax converter at the CLI: export a
     checkpoint to a torch state_dict, and import a torch state_dict into

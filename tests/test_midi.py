@@ -133,6 +133,55 @@ def test_roll_midi_roll_roundtrip():
     np.testing.assert_array_equal(back, bars)
 
 
+def test_array_writer_byte_identical():
+    """The vectorized export path (roll_to_note_arrays + write_smf_arrays)
+    is byte-identical to the per-note loop path (roll_to_notes +
+    write_smf) across densities — including same-tick on/off ties from
+    back-to-back runs, dense rolls, empty rolls, and uint8 input."""
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.random((3, 96, 128)) < 0.05).astype(np.float32),   # sparse
+        (rng.random((2, 96, 128)) < 0.6).astype(np.float32),    # dense
+        np.zeros((1, 96, 128), np.float32),                     # empty
+        (rng.random((4, 96, 128)) < 0.2).astype(np.uint8),      # uint8
+    ]
+    # back-to-back runs: off and on collide at the same tick
+    ties = np.zeros((1, 96, 128), np.float32)
+    ties[0, 0:4, 60] = 1.0
+    ties[0, 4:8, 60] = 1.0   # merged into one run (union semantics)
+    ties[0, 0:8, 62] = 1.0
+    ties[0, 4:8, 61] = 1.0   # 61's on at 62/60's mid-note
+    cases.append(ties)
+    tempo = int(round(60_000_000 / SPEC.tempo_bpm))
+    for bars in cases:
+        notes = tensorize.roll_to_notes(bars, SPEC)
+        ref = smf.write_smf(notes, 480, tempo, velocity=SPEC.velocity)
+        fast = tensorize.bars_to_midi_bytes(bars, SPEC)
+        assert fast == ref
+        p, s, e = tensorize.roll_to_note_arrays(bars, SPEC)
+        assert [(n.pitch, n.start_tick, n.end_tick) for n in notes] == \
+            list(zip(p.tolist(), s.tolist(), e.tolist()))
+
+
+def test_array_writer_validation():
+    """write_smf_arrays enforces write_smf's own validation contract."""
+    with pytest.raises(smf.SMFError, match="velocity"):
+        smf.write_smf_arrays([60], [0], [4], velocity=0)
+    with pytest.raises(smf.SMFError, match="pitch"):
+        smf.write_smf_arrays([128], [0], [4])
+    with pytest.raises(smf.SMFError, match="interval"):
+        smf.write_smf_arrays([60], [4], [4])
+    with pytest.raises(smf.SMFError, match="interval"):
+        smf.write_smf_arrays([60], [-1], [4])
+    # multi-byte varlen deltas match the loop writer
+    notes = [smf.Note(60, 0, 100_000, 100), smf.Note(61, 250_000, 300_000,
+                                                     100)]
+    ref = smf.write_smf(notes, 480, 500_000, velocity=100)
+    fast = smf.write_smf_arrays([60, 61], [0, 250_000], [100_000, 300_000],
+                                480, 500_000)
+    assert fast == ref
+
+
 def test_writer_parser_tempo():
     data = tensorize.bars_to_midi_bytes(np.zeros((1, 96, 128)), SPEC)
     midi = smf.parse_smf(data)
