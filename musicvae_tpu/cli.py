@@ -499,6 +499,10 @@ def cmd_serve(args) -> int:
     reference's script-per-run workflow cannot offer. Logs go to stderr;
     stdout carries only protocol lines.
 
+    ``--port N`` swaps the transport for a threaded TCP server speaking
+    the identical protocol to many concurrent clients, multiplexed onto
+    the same single compiled program (see ``_serve_socket``).
+
     ``--pipeline`` overlaps device compute with host MIDI encoding under
     load (depth 1): request i+1's sweep is dispatched — JAX dispatch is
     async — before request i's bars are pulled to host and encoded.
@@ -575,6 +579,24 @@ def cmd_serve(args) -> int:
                 0, cfg.model.cond_key_classes, (b,)), jnp.int32)
         return kw
 
+    def request_kwargs(req, seed: int) -> dict:
+        """Full per-request generate kwargs: cond conditioning plus the
+        optional seed-bar from an inline base64 SMF file (both transports
+        share this; raising here surfaces in-band under the request id)."""
+        kw = cond_kwargs(req, seed)
+        if req.get("seed_midi_b64"):
+            import jax.numpy as jnp
+            from musicvae_tpu.midi import tensorize
+            sb = tensorize.corpus_to_bars(
+                [base64.b64decode(req["seed_midi_b64"])], cfg.midi,
+                as_uint8=True)[0]
+            if sb.shape[0] == 0:
+                raise ValueError("seed MIDI contains no bars")
+            kw["seed_bar"] = jnp.broadcast_to(
+                jnp.asarray(sb[-1], jnp.uint8)[None],
+                (args.samples,) + sb.shape[1:])
+        return kw
+
     t0 = time.perf_counter()
     warm = gen(params, jax.random.key(0), **cond_kwargs({}, 0))
     float(np.asarray(warm).sum())           # fence: compile finishes here
@@ -588,10 +610,13 @@ def cmd_serve(args) -> int:
         warm = gen(params, jax.random.key(0), seed_bar=zb,
                    **cond_kwargs({}, 0))
         float(np.asarray(warm).sum())
-    print(f"serving {cfg.name} (step {int(jax.device_get(state.step))}): "
-          f"{args.samples}x{args.bars} bars/request, compiled in "
-          f"{time.perf_counter() - t0:.1f}s; reading JSON lines on stdin",
-          file=sys.stderr)
+    banner = (f"serving {cfg.name} (step {int(jax.device_get(state.step))})"
+              f": {args.samples}x{args.bars} bars/request, compiled in "
+              f"{time.perf_counter() - t0:.1f}s")
+
+    if args.port is not None:
+        return _serve_socket(args, cfg, gen, params, request_kwargs, banner)
+    print(f"{banner}; reading JSON lines on stdin", file=sys.stderr)
 
     # stdin feeds a queue from a reader thread so the main loop can see
     # whether a next request is ALREADY waiting (pipeline fill) without
@@ -648,18 +673,7 @@ def cmd_serve(args) -> int:
             rid = req.get("id")
             seed = int(req.get("seed", n_requests))
             n_requests += 1
-            kw = cond_kwargs(req, seed)
-            if req.get("seed_midi_b64"):
-                import jax.numpy as jnp
-                from musicvae_tpu.midi import tensorize
-                sb = tensorize.corpus_to_bars(
-                    [base64.b64decode(req["seed_midi_b64"])], cfg.midi,
-                    as_uint8=True)[0]
-                if sb.shape[0] == 0:
-                    raise ValueError("seed MIDI contains no bars")
-                kw["seed_bar"] = jnp.broadcast_to(
-                    jnp.asarray(sb[-1], jnp.uint8)[None],
-                    (args.samples,) + sb.shape[1:])
+            kw = request_kwargs(req, seed)
             t_req = time.perf_counter()
             if t_serve0 is None:
                 t_serve0 = t_req
@@ -677,6 +691,114 @@ def cmd_serve(args) -> int:
     rate = f" ({served / dt:.1f} req/s)" if served and dt > 0 else ""
     print(f"served {served} requests, {errors} errors in {dt:.1f}s{rate}",
           file=sys.stderr)
+    return 0
+
+
+def _serve_socket(args, cfg, gen, params, request_kwargs,
+                  banner: str) -> int:
+    """Multi-client transport for ``serve``: a threaded TCP server
+    speaking the same line-delimited JSON protocol, one thread per
+    connection, all multiplexed onto the ONE generation program compiled
+    at startup.
+
+    Concurrency model: a single device lock serializes dispatch+pull
+    (the chip runs one sweep at a time anyway — single-tenant), but the
+    host-side SMF encode + base64 of each response happens OUTSIDE the
+    lock, so client A's encode overlaps client B's device sweep. That is
+    the overlap the stdin ``--pipeline`` flag tried to buy, obtained
+    here without tunnel contention (encode is pure host CPU, not a
+    device→host pull racing the next dispatch). Per-client response
+    order is the client's own request order (each connection is handled
+    by one thread end-to-end); cross-client order is unspecified.
+
+    ``--max-requests N`` stops the server after N requests (bounded
+    soaks, tests); otherwise serve until interrupted. The actual bound
+    port is announced on stderr (``--port 0`` picks a free one).
+    """
+    import base64
+    import json
+    import socketserver
+    import threading
+    import time
+
+    import jax
+
+    from musicvae_tpu.generate import bars_to_midi
+
+    device_lock = threading.Lock()
+    state_lock = threading.Lock()
+    counts = {"served": 0, "errors": 0, "requests": 0, "t0": None}
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for raw in self.rfile:
+                # undecodable bytes fall through to json.loads, which
+                # reports them in-band like any other malformed request
+                line = raw.decode("utf-8", errors="replace").strip()
+                if not line:
+                    continue
+                rid = None
+                try:
+                    req = json.loads(line)
+                    rid = req.get("id")
+                    with state_lock:
+                        default_seed = counts["requests"]
+                        counts["requests"] += 1
+                        if counts["t0"] is None:
+                            counts["t0"] = time.perf_counter()
+                    seed = int(req.get("seed", default_seed))
+                    kw = request_kwargs(req, seed)
+                    t_req = time.perf_counter()
+                    with device_lock:        # one in-flight sweep
+                        bars = np.asarray(
+                            gen(params, jax.random.key(seed), **kw))
+                    # encode outside the lock: overlaps other clients'
+                    # device sweeps (see docstring)
+                    midis = [base64.b64encode(
+                                 bars_to_midi(bars[i], cfg)).decode()
+                             for i in range(bars.shape[0])]
+                    resp = {"id": rid, "midi_b64": midis,
+                            "density": float(bars.mean()),
+                            "latency_ms": round(
+                                1e3 * (time.perf_counter() - t_req), 1)}
+                    with state_lock:
+                        counts["served"] += 1
+                except Exception as e:       # in-band, per-request errors
+                    resp = {"id": rid,
+                            "error": f"{type(e).__name__}: {e}"}
+                    with state_lock:
+                        counts["errors"] += 1
+                try:
+                    self.wfile.write((json.dumps(resp) + "\n").encode())
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    return                   # client went away mid-reply
+                if args.max_requests:
+                    with state_lock:
+                        done = (counts["served"] + counts["errors"]
+                                >= args.max_requests)
+                    if done:
+                        threading.Thread(target=server.shutdown,
+                                         daemon=True).start()
+                        return
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    with Server((args.host, args.port), Handler) as server:
+        host, port = server.server_address[:2]
+        print(f"{banner}; listening on {host}:{port}", file=sys.stderr)
+        try:
+            server.serve_forever(poll_interval=0.1)
+        except KeyboardInterrupt:
+            pass
+    dt = (time.perf_counter() - counts["t0"]) \
+        if counts["t0"] is not None else 0.0
+    rate = f" ({counts['served'] / dt:.1f} req/s)" \
+        if counts["served"] and dt > 0 else ""
+    print(f"served {counts['served']} requests, {counts['errors']} errors "
+          f"in {dt:.1f}s{rate}", file=sys.stderr)
     return 0
 
 
@@ -802,10 +924,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "(seed_midi_b64) program at startup so no request "
                         "ever waits on a compile")
     p.add_argument("--pipeline", action="store_true",
-                   help="overlap device compute with host MIDI encoding "
-                        "under load (measured slightly slower over the "
-                        "axon tunnel — see cmd_serve docstring; useful "
-                        "where device->host DMA is truly concurrent)")
+                   help="stdin mode: overlap device compute with host "
+                        "MIDI encoding under load (measured slightly "
+                        "slower over the axon tunnel — see cmd_serve "
+                        "docstring; useful where device->host DMA is "
+                        "truly concurrent)")
+    p.add_argument("--port", type=int, default=None,
+                   help="serve the same JSON-line protocol over TCP "
+                        "instead of stdin: threaded multi-client server "
+                        "on one compiled program (0 = pick a free port, "
+                        "announced on stderr)")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --port (default loopback)")
+    p.add_argument("--max-requests", type=int, default=0,
+                   help="with --port: stop after N requests (bounded "
+                        "soaks/tests; 0 = serve until interrupted)")
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)

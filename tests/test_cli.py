@@ -302,6 +302,72 @@ def test_serve_pipeline_ordering(tmp_path, capsys, monkeypatch):
            [(l.get("id"), l.get("midi_b64")) for l in out2]
 
 
+def test_serve_socket_concurrent_clients(tmp_path):
+    """--port serves the same JSON protocol over TCP to concurrent
+    clients: two connections interleave requests against the one
+    compiled program; each client gets exactly its own responses, in
+    its own request order, with protocol errors in-band; --max-requests
+    stops the server cleanly."""
+    import json
+    import socket
+    import threading
+    import time
+
+    ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+    with socket.socket() as s:            # pre-pick a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    rc = []
+    t = threading.Thread(target=lambda: rc.append(main(
+        ["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+         "--bars", "2", "--samples", "1", "--port", str(port),
+         "--max-requests", "7"])), daemon=True)
+    t.start()
+
+    def connect():
+        deadline = time.time() + 120      # model compile happens first
+        while True:
+            try:
+                return socket.create_connection(("127.0.0.1", port),
+                                                timeout=5)
+            except OSError:
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
+
+    a, b = connect(), connect()
+    try:
+        # both clients write their full backlog BEFORE reading: handler
+        # threads genuinely interleave on the shared device lock
+        a_lines = [json.dumps({"id": i, "seed": i}) for i in (0, 1)] \
+            + ["not json"] + [json.dumps({"id": 2, "seed": 2})]
+        b_lines = [json.dumps({"id": i, "seed": i}) for i in (10, 11, 12)]
+        a.sendall(("\n".join(a_lines) + "\n").encode())
+        b.sendall(("\n".join(b_lines) + "\n").encode())
+
+        def read_n(conn, n):
+            f = conn.makefile("r")
+            return [json.loads(f.readline()) for _ in range(n)]
+
+        got_b = []
+        tb = threading.Thread(target=lambda: got_b.extend(read_n(b, 3)))
+        tb.start()
+        got_a = read_n(a, 4)
+        tb.join(timeout=120)
+    finally:
+        a.close()
+        b.close()
+    t.join(timeout=120)
+
+    assert rc == [0]
+    assert [r.get("id") for r in got_a] == [0, 1, None, 2]
+    assert "error" in got_a[2]            # malformed line stays in-band
+    assert [r.get("id") for r in got_b] == [10, 11, 12]
+    for r in got_a[:2] + [got_a[3]] + got_b:
+        assert r["midi_b64"] and "density" in r and "latency_ms" in r
+
+
 def test_convert_cli_roundtrip(tmp_path, capsys):
     """`convert` exposes the torch↔orbax converter at the CLI: export a
     checkpoint to a torch state_dict, and import a torch state_dict into
