@@ -368,6 +368,62 @@ def test_serve_socket_concurrent_clients(tmp_path):
         assert r["midi_b64"] and "density" in r and "latency_ms" in r
 
 
+def test_serve_socket_cond_and_seed(tmp_path):
+    """The TCP transport shares request_kwargs with stdin mode: a cond
+    (C4) server answers chord/key requests, reports out-of-range values
+    and a corrupt seed_midi_b64 in-band on the same connection, and
+    keeps serving after both."""
+    import base64
+    import json
+    import socket
+    import threading
+    import time
+
+    ckpt = _tiny_ckpt(tmp_path, "c4_cond")
+    seed_b64 = base64.b64encode(
+        open(_write_seed_midi(tmp_path), "rb").read()).decode()
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    rc = []
+    t = threading.Thread(target=lambda: rc.append(main(
+        ["serve", "--config", "c4_cond", "--ckpt-dir", ckpt,
+         "--bars", "2", "--samples", "1", "--port", str(port),
+         "--warm-seed", "--max-requests", "5"])), daemon=True)
+    t.start()
+
+    deadline = time.time() + 120
+    while True:
+        try:
+            conn = socket.create_connection(("127.0.0.1", port), timeout=5)
+            break
+        except OSError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.2)
+    try:
+        reqs = [{"id": 1, "seed": 3, "chord": 14, "key": 7},
+                {"id": 2, "seed": 3, "chord": 99},           # out of range
+                {"id": 3, "seed": 3,
+                 "seed_midi_b64": base64.b64encode(b"junk").decode()},
+                {"id": 4, "seed": 3, "seed_midi_b64": seed_b64},
+                {"id": 5, "seed": 4}]                        # omitted cond
+        conn.sendall(("\n".join(map(json.dumps, reqs)) + "\n").encode())
+        f = conn.makefile("r")
+        got = [json.loads(f.readline()) for _ in range(5)]
+    finally:
+        conn.close()
+    t.join(timeout=120)
+
+    assert rc == [0]
+    by_id = {r["id"]: r for r in got}
+    assert "chord 99 out of range" in by_id[2]["error"]
+    assert "error" in by_id[3]
+    for i in (1, 4, 5):
+        assert len(by_id[i]["midi_b64"]) == 1
+
+
 def test_convert_cli_roundtrip(tmp_path, capsys):
     """`convert` exposes the torch↔orbax converter at the CLI: export a
     checkpoint to a torch state_dict, and import a torch state_dict into
