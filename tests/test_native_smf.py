@@ -142,7 +142,33 @@ def test_stale_library_missing_symbol_falls_back(monkeypatch, tmp_path):
 def test_pack_bits_rejects_non_multiple_of_8():
     import pytest as _pytest
 
-    from musicvae_tpu.ops.pack import pack_bits_np
+    from musicvae_tpu.ops.pack import pack_bits, pack_bits_np
 
     with _pytest.raises(ValueError, match="multiple of 8"):
         pack_bits_np(np.zeros((4, 100)))
+    with _pytest.raises(ValueError, match="multiple of 8"):
+        pack_bits(np.zeros((4, 100)))
+
+
+def test_pack_bits_roundtrips_both_directions():
+    """Host-pack/device-unpack (streaming ingest) and device-pack/
+    host-unpack (serving pulls) are exact inverses AND produce identical
+    packed bytes (same MSB-first layout), for random binary rolls
+    including all-zero and all-one rows."""
+    import jax
+
+    from musicvae_tpu.ops.pack import (pack_bits, pack_bits_np,
+                                       unpack_bits, unpack_bits_np)
+
+    rng = np.random.default_rng(0)
+    x = (rng.random((3, 5, 96, 128)) < 0.1).astype(np.uint8)
+    x[0, 0] = 0
+    x[1, 1] = 1
+
+    packed_host = pack_bits_np(x)
+    packed_dev = np.asarray(jax.jit(pack_bits)(x))
+    assert packed_dev.dtype == np.uint8
+    np.testing.assert_array_equal(packed_host, packed_dev)
+    np.testing.assert_array_equal(unpack_bits_np(packed_dev), x)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_bits(packed_host, np.uint8)), x)
