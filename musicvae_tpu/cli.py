@@ -87,6 +87,7 @@ def cmd_train(args) -> int:
         ("eval_every", args.eval_every),
         ("eval_batches", args.eval_batches),
         ("holdout_frac", args.holdout_frac),
+        ("transpose_aug", args.transpose_aug),
     ) if v is not None}
     if overrides:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
@@ -512,6 +513,10 @@ def cmd_serve(args) -> int:
       response: {"id": any, "midi_b64": [str, ...], "density": float,
                  "latency_ms": float}
       error:    {"id": any, "error": str}
+      stats:    {"id": any, "cmd": "stats"} → {"id": any, "stats":
+                 {served, errors, requests, step, config, samples, bars,
+                  uptime_s}} — live in-band introspection (hot reloads
+                 show up as ``step`` changes)
 
     ``chord``/``key`` (cond models) never change the trace signature —
     omitted fields are filled with host-random classes so the program
@@ -529,6 +534,16 @@ def cmd_serve(args) -> int:
     the identical protocol to many concurrent clients, multiplexed onto
     the same single compiled program (see ``_serve_socket``).
 
+    ``--coalesce W`` enables dynamic batching: up to W queued requests
+    (either transport) run as ONE device dispatch through a single
+    uniform-signature program — amortizing the per-dispatch floor and
+    eliminating the seeded-request second trace; per-seed output is
+    bit-identical to per-request dispatch (docs/SERVING.md).
+
+    ``--reload-every SECS`` polls the checkpoint directory and hot-swaps
+    newer params into the running service with zero retracing — the
+    train→serve loop without a restart (see ``_start_reload_watcher``).
+
     ``--pipeline`` overlaps device compute with host MIDI encoding under
     load (depth 1): request i+1's sweep is dispatched — JAX dispatch is
     async — before request i's bars are pulled to host and encoded.
@@ -545,15 +560,13 @@ def cmd_serve(args) -> int:
     is the right default; the A/B is one flag away.
     """
     import base64
-    import json
-    import queue as queue_mod
     import threading
     import time
 
     import jax
     from musicvae_tpu import checkpoints
     from musicvae_tpu.config import GenSpec
-    from musicvae_tpu.generate import bars_to_midi, make_generate_fn
+    from musicvae_tpu.generate import make_generate_fn
     from musicvae_tpu.train import create_state
 
     gen_spec = GenSpec(num_bars=args.bars, num_samples=args.samples,
@@ -570,7 +583,12 @@ def cmd_serve(args) -> int:
     state, _ = checkpoints.restore(manager, state)
     from musicvae_tpu.parallel import make_mesh, replicated
     mesh = make_mesh(cfg.mesh)
-    params = jax.device_put(state.params, replicated(mesh))
+    # params live in a mutable store so the reload watcher (below) can
+    # hot-swap them: same pytree structure/shapes → the compiled programs
+    # keep serving with ZERO retracing, in-flight dispatches keep the
+    # params object they were called with (swap is GIL-atomic)
+    store = {"params": jax.device_put(state.params, replicated(mesh)),
+             "step": int(jax.device_get(state.step))}
     gen = make_generate_fn(cfg, model, mesh=mesh)
 
     def cond_kwargs(req, seed: int) -> dict:
@@ -623,30 +641,101 @@ def cmd_serve(args) -> int:
                 (args.samples,) + sb.shape[1:])
         return kw
 
-    # serve pulls 1-bit-packed rolls (8x fewer host-link bytes — the pull
-    # dominates request latency on remote-TPU links, see _make_packed_gen)
-    dispatch, to_host = _make_packed_gen(gen)
+    def request_arrays(req, seed: int):
+        """Uniform concrete (seed_bar, chord, key_sig) np arrays for the
+        coalesced program — zeros where the request (or model kind) has
+        no value, which is exactly the unseeded/unconditioned semantic
+        (see make_coalesced_generate_fn). Validation (chord/key ranges,
+        seed-MIDI decode) is shared with the per-request path via
+        request_kwargs, so both dispatch modes reject identically."""
+        kw = request_kwargs(req, seed)
+        b, n = cfg.gen.num_samples, cfg.gen.num_bars
+        t, p = cfg.midi.steps_per_bar, cfg.midi.num_pitches
+        sb = np.asarray(kw.get("seed_bar",
+                               np.zeros((b, t, p), np.uint8)), np.uint8)
+        ch = np.asarray(kw.get("chord",
+                               np.zeros((b, n), np.int32)), np.int32)
+        ks = np.asarray(kw.get("key_sig",
+                               np.zeros((b,), np.int32)), np.int32)
+        return sb, ch, ks
+
+    if args.coalesce < 1:
+        print("error: --coalesce must be >= 1", file=sys.stderr)
+        return 2
+    if args.coalesce > 1 and args.pipeline:
+        print("error: --pipeline and --coalesce are mutually exclusive "
+              "(coalescing already overlaps host encode with the next "
+              "batch's device sweep)", file=sys.stderr)
+        return 2
 
     t0 = time.perf_counter()
-    warm = dispatch(params, jax.random.key(0), **cond_kwargs({}, 0))
-    float(np.asarray(warm).sum())           # fence: compile finishes here
-    if args.warm_seed:
-        # seeded requests (seed_midi_b64) use a second trace (seed_bar
-        # array vs None); pre-compile it so no request ever waits on a
-        # recompile (compiles are minutes-slow on remote-compile setups)
-        import jax.numpy as jnp
-        zb = jnp.zeros((args.samples, cfg.midi.steps_per_bar,
-                        cfg.midi.num_pitches), jnp.uint8)
-        warm = dispatch(params, jax.random.key(0), seed_bar=zb,
+    if args.coalesce > 1:
+        # ONE uniform trace (keys, seed_bars, chords, key_sigs — all
+        # concrete) serves every request mix; nothing else to warm
+        from musicvae_tpu.generate import make_coalesced_generate_fn
+        coal = make_coalesced_generate_fn(cfg, model)
+        runner = _CoalescedRunner(coal, store, cfg, args.coalesce)
+        runner.warm()
+        dispatch = to_host = None
+    else:
+        # serve pulls 1-bit-packed rolls (8x fewer host-link bytes — the
+        # pull dominates request latency on remote-TPU links, see
+        # _make_packed_gen)
+        runner = None
+        dispatch, to_host = _make_packed_gen(gen)
+        warm = dispatch(store["params"], jax.random.key(0),
                         **cond_kwargs({}, 0))
-        float(np.asarray(warm).sum())
-    banner = (f"serving {cfg.name} (step {int(jax.device_get(state.step))})"
+        float(np.asarray(warm).sum())       # fence: compile finishes here
+        if args.warm_seed:
+            # seeded requests (seed_midi_b64) use a second trace (seed_bar
+            # array vs None); pre-compile it so no request ever waits on a
+            # recompile (compiles are minutes-slow on remote-compile
+            # setups)
+            import jax.numpy as jnp
+            zb = jnp.zeros((args.samples, cfg.midi.steps_per_bar,
+                            cfg.midi.num_pitches), jnp.uint8)
+            warm = dispatch(store["params"], jax.random.key(0),
+                            seed_bar=zb, **cond_kwargs({}, 0))
+            float(np.asarray(warm).sum())
+    banner = (f"serving {cfg.name} (step {store['step']})"
               f": {args.samples}x{args.bars} bars/request, compiled in "
               f"{time.perf_counter() - t0:.1f}s")
+    if args.coalesce > 1:
+        banner += f", coalescing up to {args.coalesce} requests/dispatch"
 
-    if args.port is not None:
-        return _serve_socket(args, cfg, dispatch, to_host, params,
-                             request_kwargs, banner)
+    stop_reload = threading.Event()
+    if args.reload_every > 0:
+        _start_reload_watcher(args, manager, state, mesh, store,
+                              stop_reload)
+    try:
+        if args.port is not None:
+            return _serve_socket(args, cfg, dispatch, to_host, store,
+                                 request_kwargs, banner,
+                                 runner=runner,
+                                 request_arrays=request_arrays)
+        if args.coalesce > 1:
+            return _serve_stdin_coalesced(args, cfg, runner,
+                                          request_arrays, banner)
+        return _serve_stdin_serial(args, cfg, dispatch, to_host, store,
+                                   request_kwargs, banner)
+    finally:
+        stop_reload.set()
+
+
+def _serve_stdin_serial(args, cfg, dispatch, to_host, store,
+                        request_kwargs, banner: str) -> int:
+    """Default stdin transport: one request, one device dispatch (see
+    cmd_serve's docstring for the protocol and the --pipeline A/B)."""
+    import base64
+    import json
+    import queue as queue_mod
+    import threading
+    import time
+
+    import jax
+
+    from musicvae_tpu.generate import bars_to_midi
+
     print(f"{banner}; reading JSON lines on stdin", file=sys.stderr)
 
     # stdin feeds a queue from a reader thread so the main loop can see
@@ -667,6 +756,7 @@ def cmd_serve(args) -> int:
                     # lags dispatch by one while the pipeline is full)
     pending = []    # at most one in-flight (rid, device_bars, t_req)
     t_serve0 = None
+    t_start = time.perf_counter()
 
     def _flush():
         """Pull the in-flight sweep to host, encode, and answer. Device
@@ -702,13 +792,20 @@ def cmd_serve(args) -> int:
         try:
             req = json.loads(line)
             rid = req.get("id")
+            if req.get("cmd") == "stats":
+                _flush()                    # responses keep request order
+                print(json.dumps(_stats_response(
+                    rid, cfg, store, served, errors, n_requests,
+                    t_start)), flush=True)
+                continue
             seed = int(req.get("seed", n_requests))
             n_requests += 1
             kw = request_kwargs(req, seed)
             t_req = time.perf_counter()
             if t_serve0 is None:
                 t_serve0 = t_req
-            dev = dispatch(params, jax.random.key(seed), **kw)  # async
+            dev = dispatch(store["params"],
+                           jax.random.key(seed), **kw)  # async
             _flush()        # encode request i while the device runs i+1
             pending.append((rid, dev, t_req))
             if not args.pipeline or inq.empty():
@@ -725,8 +822,248 @@ def cmd_serve(args) -> int:
     return 0
 
 
-def _serve_socket(args, cfg, dispatch, to_host, params, request_kwargs,
-                  banner: str) -> int:
+def _stats_response(rid, cfg, store, served: int, errors: int,
+                    requests: int, t_start: float) -> dict:
+    """In-band service introspection: a request line ``{"cmd": "stats"}``
+    answers with live counters instead of music — load balancers and
+    training dashboards can watch a service (and see hot reloads land via
+    ``step``) without side channels or log scraping."""
+    import time
+
+    return {"id": rid, "stats": {
+        "served": served, "errors": errors, "requests": requests,
+        "step": store["step"], "config": cfg.name,
+        "samples": cfg.gen.num_samples, "bars": cfg.gen.num_bars,
+        "uptime_s": round(time.perf_counter() - t_start, 1)}}
+
+
+class _CoalescedRunner:
+    """Host side of serve's dynamic batching: stacks up to ``width``
+    requests' (seed, arrays) into the one coalesced device program
+    (make_coalesced_generate_fn), padding short batches to the fixed
+    width so jit never retraces. Pad slots reuse seed 0 + zeros and are
+    sliced off before the host unpack, so they cost device FLOPs only —
+    the price of the single-trace guarantee."""
+
+    def __init__(self, coal, store, cfg, width: int):
+        self.coal, self.store, self.cfg, self.width = \
+            coal, store, cfg, width
+        b = cfg.gen.num_samples
+        t, p = cfg.midi.steps_per_bar, cfg.midi.num_pitches
+        self._zero = (np.zeros((b, t, p), np.uint8),
+                      np.zeros((b, cfg.gen.num_bars), np.int32),
+                      np.zeros((b,), np.int32))
+
+    def warm(self) -> None:
+        self.run([(0, self._zero)])
+
+    def run(self, items):
+        """items: [(seed, (seed_bar, chord, key_sig)), ...] with
+        len <= width → list of unpacked bars arrays [B,N,T,P] uint8,
+        one per item, in order."""
+        import jax
+        import jax.numpy as jnp
+
+        from musicvae_tpu.ops.pack import unpack_bits_np
+
+        n = len(items)
+        pad = self.width - n
+        seeds = [s for s, _ in items] + [0] * pad
+        stacks = [np.stack([a[i] for _, a in items]
+                           + [self._zero[i]] * pad) for i in range(3)]
+        keys = jax.vmap(jax.random.key)(jnp.asarray(seeds))
+        # pull all width slots and slice on host: pad slots are packed
+        # (1 bit/cell, ~100 KB each) so the extra bytes cost less than
+        # the extra device dispatch a device-side [:n] slice would add
+        packed = np.asarray(self.coal(self.store["params"], keys, *stacks))
+        bars = unpack_bits_np(packed[:n])
+        return [bars[i] for i in range(n)]
+
+
+class _Batcher:
+    """Cross-client request coalescer for the TCP transport: handler
+    threads submit (seed, arrays) and block on a Future; one dispatcher
+    thread drains the queue up to the runner's width and answers a whole
+    batch from one device dispatch. Under concurrency the per-dispatch
+    floor (~25 ms on the axon tunnel) is paid once per width requests
+    instead of once per request."""
+
+    def __init__(self, runner: _CoalescedRunner):
+        import queue as queue_mod
+        import threading
+
+        self.runner = runner
+        self.q: "queue_mod.Queue" = queue_mod.Queue()
+        self._empty = queue_mod.Empty
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, seed: int, arrays):
+        import concurrent.futures
+
+        fut: "concurrent.futures.Future" = concurrent.futures.Future()
+        self.q.put((seed, arrays, fut))
+        return fut
+
+    def _loop(self) -> None:
+        while True:
+            items = [self.q.get()]
+            while len(items) < self.runner.width:
+                try:
+                    items.append(self.q.get_nowait())
+                except self._empty:
+                    break
+            try:
+                results = self.runner.run([(s, a) for s, a, _ in items])
+                for (_, _, fut), bars in zip(items, results):
+                    fut.set_result(bars)
+            except Exception as e:  # device errors fan out per-request
+                for _, _, fut in items:
+                    fut.set_exception(e)
+
+
+def _serve_stdin_coalesced(args, cfg, runner, request_arrays,
+                           banner: str) -> int:
+    """stdin transport under ``--coalesce W``: drain up to W already-
+    queued request lines per iteration and answer them from ONE device
+    dispatch. Responses keep request order; malformed requests get their
+    in-band error in position without poisoning the batch; a device
+    error inside a batch is reported under every affected request id."""
+    import base64
+    import json
+    import queue as queue_mod
+    import threading
+    import time
+
+    from musicvae_tpu.generate import bars_to_midi
+
+    print(f"{banner}; reading JSON lines on stdin", file=sys.stderr)
+    inq: "queue_mod.Queue" = queue_mod.Queue(maxsize=256)
+
+    def _read_stdin():
+        for ln in sys.stdin:
+            inq.put(ln)
+        inq.put(None)                       # EOF sentinel
+
+    threading.Thread(target=_read_stdin, daemon=True).start()
+
+    served = errors = n_requests = 0
+    t_serve0 = None
+    t_start = time.perf_counter()
+    eof = False
+    while not eof:
+        lines = [inq.get()]
+        while len(lines) < runner.width:
+            try:
+                lines.append(inq.get_nowait())
+            except queue_mod.Empty:
+                break
+        # entry kinds: (rid, seed, arrays) generation slot;
+        # (rid, None, errmsg) in-band error; (rid, "stats", None)
+        entries = []
+        for line in lines:
+            if line is None:
+                eof = True
+                break
+            line = line.strip()
+            if not line:
+                continue
+            rid = None
+            try:
+                req = json.loads(line)
+                rid = req.get("id")
+                if req.get("cmd") == "stats":
+                    entries.append((rid, "stats", None))
+                    continue
+                seed = int(req.get("seed", n_requests))
+                n_requests += 1
+                entries.append((rid, seed, request_arrays(req, seed)))
+            except Exception as e:
+                entries.append((rid, None, f"{type(e).__name__}: {e}"))
+        if not entries:
+            continue
+        t_req = time.perf_counter()
+        if t_serve0 is None:
+            t_serve0 = t_req
+        ok = [(seed, arrays) for _, seed, arrays in entries
+              if seed is not None and seed != "stats"]
+        try:
+            results = iter(runner.run(ok) if ok else [])
+            run_err = None
+        except Exception as e:
+            results, run_err = iter([]), f"{type(e).__name__}: {e}"
+        for rid, seed, payload in entries:
+            if seed == "stats":
+                print(json.dumps(_stats_response(
+                    rid, cfg, runner.store, served, errors, n_requests,
+                    t_start)), flush=True)
+            elif seed is None:
+                errors += 1
+                print(json.dumps({"id": rid, "error": payload}),
+                      flush=True)
+            elif run_err is not None:
+                errors += 1
+                print(json.dumps({"id": rid, "error": run_err}),
+                      flush=True)
+            else:
+                bars = next(results)
+                midis = [base64.b64encode(
+                             bars_to_midi(bars[i], cfg)).decode()
+                         for i in range(bars.shape[0])]
+                print(json.dumps({"id": rid, "midi_b64": midis,
+                                  "density": float(bars.mean()),
+                                  "latency_ms": round(
+                                      1e3 * (time.perf_counter() - t_req),
+                                      1)}), flush=True)
+                served += 1
+    dt = (time.perf_counter() - t_serve0) if t_serve0 is not None else 0.0
+    rate = f" ({served / dt:.1f} req/s)" if served and dt > 0 else ""
+    print(f"served {served} requests, {errors} errors in {dt:.1f}s{rate}",
+          file=sys.stderr)
+    return 0
+
+
+def _start_reload_watcher(args, manager, template_state, mesh, store,
+                          stop) -> None:
+    """Hot checkpoint reload for ``serve --reload-every SECS``: a daemon
+    thread polls the checkpoint directory and swaps new params into the
+    shared ``store`` — the train→serve loop without a service restart.
+    Shapes are fixed by the checkpoint's own config, so a reload never
+    retraces a compiled program; requests dispatched before the swap
+    finish on the params they started with. A step that fails to restore
+    (e.g. caught mid-write before Orbax commits) is retried at the next
+    poll and NEVER quarantines anything — the training process owns the
+    directory; the server is a read-only observer."""
+    import threading
+
+    import jax
+
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.parallel import replicated
+
+    def _watch():
+        while not stop.wait(args.reload_every):
+            try:
+                manager.reload()            # see steps saved since startup
+                latest = manager.latest_step()
+                if latest is None or latest <= store["step"]:
+                    continue
+                new_state, _ = checkpoints.restore(manager, template_state,
+                                                   step=latest)  # strict
+                store["params"] = jax.device_put(new_state.params,
+                                                 replicated(mesh))
+                store["step"] = latest
+                print(f"reloaded checkpoint step {latest}",
+                      file=sys.stderr)
+            except Exception as e:
+                print(f"warning: checkpoint reload failed "
+                      f"({type(e).__name__}: {e}); will retry",
+                      file=sys.stderr)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+
+def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
+                  banner: str, runner=None, request_arrays=None) -> int:
     """Multi-client transport for ``serve``: a threaded TCP server
     speaking the same line-delimited JSON protocol, one thread per
     connection, all multiplexed onto the ONE generation program compiled
@@ -745,6 +1082,13 @@ def _serve_socket(args, cfg, dispatch, to_host, params, request_kwargs,
     ``--max-requests N`` stops the server after N requests (bounded
     soaks, tests); otherwise serve until interrupted. The actual bound
     port is announced on stderr (``--port 0`` picks a free one).
+
+    With ``--coalesce W`` (``runner`` given) the device lock is replaced
+    by a ``_Batcher``: handler threads submit their request arrays and
+    block on a Future while one dispatcher thread answers up to W queued
+    requests from a single device dispatch — the multi-client case is
+    exactly where coalescing pays, since concurrent clients keep the
+    batch queue full.
     """
     import base64
     import json
@@ -756,9 +1100,11 @@ def _serve_socket(args, cfg, dispatch, to_host, params, request_kwargs,
 
     from musicvae_tpu.generate import bars_to_midi
 
+    batcher = _Batcher(runner) if runner is not None else None
     device_lock = threading.Lock()
     state_lock = threading.Lock()
     counts = {"served": 0, "errors": 0, "requests": 0, "t0": None}
+    t_start = time.perf_counter()
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
@@ -772,17 +1118,36 @@ def _serve_socket(args, cfg, dispatch, to_host, params, request_kwargs,
                 try:
                     req = json.loads(line)
                     rid = req.get("id")
+                    if req.get("cmd") == "stats":
+                        with state_lock:
+                            resp = _stats_response(
+                                rid, cfg, store, counts["served"],
+                                counts["errors"], counts["requests"],
+                                t_start)
+                        try:
+                            self.wfile.write(
+                                (json.dumps(resp) + "\n").encode())
+                            self.wfile.flush()
+                        except (BrokenPipeError, ConnectionResetError):
+                            return
+                        continue            # not a generation request
                     with state_lock:
                         default_seed = counts["requests"]
                         counts["requests"] += 1
                         if counts["t0"] is None:
                             counts["t0"] = time.perf_counter()
                     seed = int(req.get("seed", default_seed))
-                    kw = request_kwargs(req, seed)
-                    t_req = time.perf_counter()
-                    with device_lock:        # one in-flight sweep+pull
-                        bars = to_host(
-                            dispatch(params, jax.random.key(seed), **kw))
+                    if batcher is not None:
+                        arrays = request_arrays(req, seed)
+                        t_req = time.perf_counter()
+                        bars = batcher.submit(seed, arrays).result()
+                    else:
+                        kw = request_kwargs(req, seed)
+                        t_req = time.perf_counter()
+                        with device_lock:    # one in-flight sweep+pull
+                            bars = to_host(
+                                dispatch(store["params"],
+                                         jax.random.key(seed), **kw))
                     # encode outside the lock: overlaps other clients'
                     # device sweeps (see docstring)
                     midis = [base64.b64encode(
@@ -867,6 +1232,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "best state by eval loss is kept in "
                         "<ckpt-dir>/best")
     p.add_argument("--eval-batches", type=int, default=None)
+    p.add_argument("--transpose-aug", type=int, default=None,
+                   help="on-device pitch-transpose augmentation: uniform "
+                        "per-example shift in [-K, +K] semitones per "
+                        "step (0 = off; not supported for cond models)")
     p.add_argument("--holdout-frac", type=float, default=None,
                    help="fraction of pieces held out for eval "
                         "(config default 0.1)")
@@ -960,6 +1329,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "slower over the axon tunnel — see cmd_serve "
                         "docstring; useful where device->host DMA is "
                         "truly concurrent)")
+    p.add_argument("--coalesce", type=int, default=1,
+                   help="dynamic batching width W: up to W queued "
+                        "requests run as ONE device dispatch, amortizing "
+                        "the per-dispatch floor (~25 ms on remote-TPU "
+                        "links) W-ways. One uniform trace serves every "
+                        "request mix (plain/seeded/conditioned) — no "
+                        "--warm-seed needed. 1 = off (per-request "
+                        "dispatch)")
     p.add_argument("--port", type=int, default=None,
                    help="serve the same JSON-line protocol over TCP "
                         "instead of stdin: threaded multi-client server "
@@ -970,9 +1347,26 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--max-requests", type=int, default=0,
                    help="with --port: stop after N requests (bounded "
                         "soaks/tests; 0 = serve until interrupted)")
+    p.add_argument("--reload-every", type=float, default=0.0,
+                   help="poll the checkpoint dir every SECS seconds and "
+                        "hot-swap newer params into the running service "
+                        "(no retrace — shapes are fixed by the "
+                        "checkpoint's config). The train->serve loop "
+                        "without a restart. 0 = off")
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        # honor the standard env var even where an ambient sitecustomize
+        # (e.g. the axon TPU tunnel's) pre-imports jax and pins the
+        # platform at import time — without this, JAX_PLATFORMS=cpu
+        # subprocess runs silently land on the TPU anyway
+        import jax
+        try:
+            jax.config.update("jax_platforms", plats)
+        except Exception:
+            pass
     _enable_compile_cache()
     if args.cmd in ("train", "eval", "generate", "serve"):
         # backend-using subcommands only: preprocess is host-side and must

@@ -140,6 +140,76 @@ def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
     return generate
 
 
+def make_coalesced_generate_fn(cfg: Config,
+                               model: Optional[PianoRollVAE] = None,
+                               pack: bool = True):
+    """Dynamic-batching program for ``serve``: W independent requests —
+    each with its OWN PRNG key, seed bar, and conditioning — generated in
+    ONE device dispatch. On remote-TPU setups every dispatch pays a fixed
+    floor (~25 ms over the axon tunnel), so batching W queued requests
+    into one program amortizes that floor W-ways; the vmap also turns W
+    small sweeps into one [W*B]-batched sweep, which the MXU tiles better
+    than W back-to-back programs.
+
+    Returns fn(params, keys[W], seed_bars[W,B,T,P] u8, chords[W,B,N] i32,
+    key_sigs[W,B] i32) → bars [W,B,N,T,P/8] uint8 (1-bit packed along the
+    pitch axis when ``pack``, see ops/pack; unpacked [W,B,N,T,P] bars
+    otherwise). The signature is deliberately UNIFORM and fully concrete:
+    a zeros seed bar is exactly the unseeded default (models/vae.py
+    ``generate`` zero-fills the prev-bar carry when seed_bar is None),
+    and chords/key_sigs are ignored for non-cond kinds — so seeded,
+    conditioned, and plain requests all share one trace and the server
+    never recompiles mid-service, whatever the request mix.
+
+    Slot i's output is the SAME music the single-request program
+    (make_generate_fn) produces for that key: the per-request key splits
+    match generate()'s split(key, 5) exactly, so responses do not depend
+    on how requests happened to batch (asserted exactly in
+    tests/test_cli.py::test_coalesced_generate_matches_single). The
+    caller pads short batches to a fixed W (jit specializes on W) and
+    discards pad slots.
+    """
+    model = model or build_model(cfg)
+    g = cfg.gen
+    if g.sample_mode not in ("threshold", "bernoulli"):
+        raise ValueError(f"unknown GenSpec.sample_mode {g.sample_mode!r}; "
+                         "expected 'threshold' or 'bernoulli'")
+    batch, num_bars = g.num_samples, g.num_bars
+
+    def one(params, key, seed_bar, chord, key_sig):
+        # split order matches make_generate_fn.generate so slot outputs
+        # are bit-identical to the single-request program per key
+        k_z, _k_c, _k_k, k_p, k_bin = jax.random.split(key, 5)
+        z_bars, reset = latent_path(k_z, cfg, batch, num_bars,
+                                    g.interpolate, g.temperature)
+        kw: Dict = {}
+        if cfg.model.kind == "cond":
+            kw = {"chord": chord, "key_sig": key_sig}
+        z_phrase = None
+        if cfg.model.kind == "hier":
+            z_phrase = jax.random.normal(
+                k_p, (batch, cfg.model.z_phrase_dim)) * g.temperature
+        if g.sample_mode == "bernoulli":
+            kw["bin_keys"] = jax.random.split(k_bin, num_bars)
+            kw["sample_temperature"] = g.sample_temperature
+        _, bars = model.apply({"params": params}, z_bars, reset,
+                              seed_bar, **kw, z_phrase=z_phrase,
+                              method=model.generate)
+        return bars
+
+    batched = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))
+
+    @jax.jit
+    def coalesced(params, keys, seed_bars, chords, key_sigs):
+        bars = batched(params, keys, seed_bars, chords, key_sigs)
+        if pack:
+            from musicvae_tpu.ops.pack import pack_bits
+            bars = pack_bits(bars)
+        return bars
+
+    return coalesced
+
+
 def make_encode_fn(cfg: Config, model: Optional[PianoRollVAE] = None):
     """Jitted posterior encode for seeded continuation (SURVEY §3.3: the
     generation loop may start from 'a real bar' — this is the '--encode'

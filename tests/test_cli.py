@@ -488,3 +488,369 @@ def test_eval_partial_tail_batch_unbiased(tmp_path, capsys):
     assert rc == 0
     text = capsys.readouterr().out
     assert "loss=" in text and "f1=" in text
+
+
+def test_coalesced_generate_matches_single():
+    """The serve dynamic-batching program (make_coalesced_generate_fn)
+    produces BIT-IDENTICAL music to the single-request program per slot
+    key — seeded, conditioned, and plain slots alike — so responses never
+    depend on how requests happened to batch."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from musicvae_tpu.config import get_config
+    from musicvae_tpu.generate import (make_coalesced_generate_fn,
+                                       make_generate_fn)
+    from musicvae_tpu.models.vae import init_params
+    from musicvae_tpu.ops.pack import unpack_bits_np
+
+    for name, seeded, cond in [("c2_gru_4bar", True, False),
+                               ("c4_cond", False, True),
+                               ("c3_hier_16bar", False, False)]:
+        cfg = get_config(name)
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, enc_channels=(4, 8, 8, 8, 8),
+                dec_channels=(8, 8, 8, 8, 8), z_dim=8, gru_hidden=16,
+                bar_feat_dim=16, dtype="float32"),
+            gen=dataclasses.replace(cfg.gen, num_samples=2, num_bars=2))
+        model, params = init_params(cfg, jax.random.key(0))
+        gen = make_generate_fn(cfg, model)
+        coal = make_coalesced_generate_fn(cfg, model)
+
+        W, B = 3, cfg.gen.num_samples
+        T, P = cfg.midi.steps_per_bar, cfg.midi.num_pitches
+        N = cfg.gen.num_bars
+        rng = np.random.default_rng(0)
+        seed_bars = np.zeros((W, B, T, P), np.uint8)
+        if seeded:
+            seed_bars[1] = (rng.random((B, T, P)) < 0.05).astype(np.uint8)
+        chords = rng.integers(0, cfg.model.cond_chord_classes or 1,
+                              (W, B, N)).astype(np.int32)
+        key_sigs = rng.integers(0, cfg.model.cond_key_classes or 1,
+                                (W, B)).astype(np.int32)
+        keys = jax.vmap(jax.random.key)(jnp.arange(W))
+        out = unpack_bits_np(np.asarray(
+            coal(params, keys, seed_bars, chords, key_sigs)))
+        assert out.shape == (W, B, N, T, P)
+        for i in range(W):
+            kw = {}
+            if seed_bars[i].any():
+                kw["seed_bar"] = jnp.asarray(seed_bars[i])
+            if cond:
+                kw["chord"] = jnp.asarray(chords[i])
+                kw["key_sig"] = jnp.asarray(key_sigs[i])
+            ref = np.asarray(gen(params, jax.random.key(i), **kw))
+            np.testing.assert_array_equal(out[i], ref, err_msg=f"{name}#{i}")
+
+
+def test_serve_stdin_coalesce_matches_serial(tmp_path, capsys, monkeypatch):
+    """`serve --coalesce 3` answers the same request stream with byte-
+    identical responses to per-request dispatch (--coalesce 1), keeps
+    request order, and reports malformed lines in-band without poisoning
+    the batch they landed in."""
+    import io
+    import json
+
+    ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+    requests = "\n".join([
+        json.dumps({"id": 1, "seed": 7}),
+        json.dumps({"id": 2, "seed": 8}),
+        "not json",
+        json.dumps({"id": 3, "seed": 7}),       # same seed as id 1
+        json.dumps({"id": 4, "seed": 9}),
+    ]) + "\n"
+
+    outs = {}
+    for w in ("1", "3"):
+        capsys.readouterr()
+        monkeypatch.setattr("sys.stdin", io.StringIO(requests))
+        assert main(["serve", "--config", "c1_conv_bar",
+                     "--ckpt-dir", ckpt, "--bars", "2", "--samples", "2",
+                     "--coalesce", w]) == 0
+        outs[w] = [json.loads(l) for l in
+                   capsys.readouterr().out.strip().splitlines()]
+
+    for lines in outs.values():
+        assert [l.get("id") for l in lines] == [1, 2, None, 3, 4]
+        assert "error" in lines[2]
+        assert lines[0]["midi_b64"] == lines[3]["midi_b64"]  # same seed
+    for a, b in zip(outs["1"], outs["3"]):
+        assert a.get("midi_b64") == b.get("midi_b64")  # batching-invariant
+
+    # flag validation: bad width / pipeline combination exit cleanly
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    assert main(["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+                 "--coalesce", "0"]) == 2
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    assert main(["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+                 "--coalesce", "2", "--pipeline"]) == 2
+
+
+def test_serve_socket_coalesce(tmp_path):
+    """TCP transport under --coalesce 4: concurrent clients' requests
+    are answered from batched dispatches with per-seed determinism
+    across clients, in-band errors, and a clean --max-requests stop."""
+    import json
+    import socket
+    import threading
+    import time
+
+    ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    rc = []
+    t = threading.Thread(target=lambda: rc.append(main(
+        ["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+         "--bars", "2", "--samples", "1", "--port", str(port),
+         "--coalesce", "4", "--max-requests", "7"])), daemon=True)
+    t.start()
+
+    def connect():
+        deadline = time.time() + 120
+        while True:
+            try:
+                return socket.create_connection(("127.0.0.1", port),
+                                                timeout=5)
+            except OSError:
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
+
+    a, b = connect(), connect()
+    try:
+        a_lines = [json.dumps({"id": i, "seed": i}) for i in (0, 1)] \
+            + ["not json"] + [json.dumps({"id": 2, "seed": 42})]
+        b_lines = [json.dumps({"id": i, "seed": s})
+                   for i, s in ((10, 0), (11, 5), (12, 42))]
+        a.sendall(("\n".join(a_lines) + "\n").encode())
+        b.sendall(("\n".join(b_lines) + "\n").encode())
+
+        def read_n(conn, n):
+            f = conn.makefile("r")
+            return [json.loads(f.readline()) for _ in range(n)]
+
+        got_b = []
+        tb = threading.Thread(target=lambda: got_b.extend(read_n(b, 3)))
+        tb.start()
+        got_a = read_n(a, 4)
+        tb.join(timeout=120)
+    finally:
+        a.close()
+        b.close()
+    t.join(timeout=120)
+
+    assert rc == [0]
+    assert [r.get("id") for r in got_a] == [0, 1, None, 2]
+    assert "error" in got_a[2]
+    assert [r.get("id") for r in got_b] == [10, 11, 12]
+    by_id_a = {r.get("id"): r for r in got_a}
+    by_id_b = {r["id"]: r for r in got_b}
+    # same seed → same music, whichever client/batch carried it
+    assert by_id_a[0]["midi_b64"] == by_id_b[10]["midi_b64"]
+    assert by_id_a[2]["midi_b64"] == by_id_b[12]["midi_b64"]
+    for r in [by_id_a[0], by_id_a[1], by_id_a[2]] + got_b:
+        assert r["midi_b64"] and "latency_ms" in r
+
+
+def test_serve_reload_hot_swaps_params(tmp_path, capsys, monkeypatch):
+    """`serve --reload-every` hot-swaps newer checkpoint params into the
+    running service without a restart or retrace: the same seed answers
+    differently after a new step lands, and the reloaded service's
+    response is byte-identical to a fresh service started on the new
+    checkpoint."""
+    import dataclasses
+    import io
+    import json
+    import threading
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.config import get_config
+    from musicvae_tpu.train import create_state
+
+    ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+
+    def write_step2():
+        cfg = get_config("c1_conv_bar")
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, enc_channels=(4, 8, 8, 8, 8),
+                dec_channels=(8, 8, 8, 8, 8), z_dim=16, gru_hidden=32,
+                bar_feat_dim=32, dtype="float32"),
+            train=dataclasses.replace(cfg.train, batch_size=4))
+        _, state = create_state(cfg)
+        # visibly different params: decode output flips for most seeds
+        state = state.replace(
+            step=state.step + 2,
+            params=jax.tree.map(lambda a: a + 0.5, state.params))
+        mgr = checkpoints.make_manager(str(tmp_path / "ckpt"), keep=2)
+        checkpoints.save(mgr, state, cfg, wait=True)
+
+    class PacedStdin:
+        """Yields a request, runs an action + settle delay, then yields
+        the same request again (the reader thread iterates us)."""
+
+        def __iter__(self):
+            yield json.dumps({"id": 1, "seed": 7}) + "\n"
+            time.sleep(0.5)             # let request 1 answer on step 1
+            write_step2()
+            time.sleep(1.5)             # > --reload-every; watcher swaps
+            yield json.dumps({"id": 2, "seed": 7}) + "\n"
+
+    monkeypatch.setattr("sys.stdin", PacedStdin())
+    assert main(["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+                 "--bars", "2", "--samples", "2",
+                 "--reload-every", "0.2"]) == 0
+    out, err = capsys.readouterr()
+    lines = [json.loads(l) for l in out.strip().splitlines()]
+    assert "reloaded checkpoint step 2" in err
+    assert [l["id"] for l in lines] == [1, 2]
+    assert lines[0]["midi_b64"] != lines[1]["midi_b64"], \
+        "same seed answered identically after reload"
+
+    # the reloaded response == a fresh service on the new checkpoint
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO(json.dumps({"id": 3, "seed": 7}) + "\n"))
+    assert main(["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+                 "--bars", "2", "--samples", "2"]) == 0
+    fresh = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert fresh[0]["midi_b64"] == lines[1]["midi_b64"]
+
+
+def test_serve_stats_request(tmp_path, capsys, monkeypatch):
+    """{"cmd": "stats"} answers with live counters in-band on every
+    transport/dispatch mode: serial stdin, coalesced stdin, and TCP —
+    in request order, without counting as a generation request."""
+    import io
+    import json
+    import socket
+    import threading
+    import time
+
+    ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+    requests = "\n".join([
+        json.dumps({"id": 1, "seed": 7}),
+        json.dumps({"id": 2, "cmd": "stats"}),
+        json.dumps({"id": 3, "seed": 8}),
+    ]) + "\n"
+
+    for extra in ([], ["--coalesce", "2"]):
+        capsys.readouterr()
+        monkeypatch.setattr("sys.stdin", io.StringIO(requests))
+        assert main(["serve", "--config", "c1_conv_bar", "--ckpt-dir",
+                     ckpt, "--bars", "2", "--samples", "1"] + extra) == 0
+        lines = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()]
+        assert [l["id"] for l in lines] == [1, 2, 3], extra
+        st = lines[1]["stats"]
+        assert st["served"] == 1 and st["errors"] == 0
+        assert st["requests"] == 1          # stats didn't count as one
+        assert st["step"] == 1 and st["config"] == "c1_conv_bar"
+        assert st["samples"] == 1 and st["bars"] == 2
+        assert st["uptime_s"] >= 0
+
+    # TCP transport
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    rc = []
+    t = threading.Thread(target=lambda: rc.append(main(
+        ["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+         "--bars", "2", "--samples", "1", "--port", str(port),
+         "--max-requests", "1"])), daemon=True)
+    t.start()
+    deadline = time.time() + 120
+    while True:
+        try:
+            conn = socket.create_connection(("127.0.0.1", port), timeout=5)
+            break
+        except OSError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.2)
+    try:
+        conn.sendall((json.dumps({"id": 9, "cmd": "stats"}) + "\n"
+                      + json.dumps({"id": 10, "seed": 1}) + "\n").encode())
+        f = conn.makefile("r")
+        got = [json.loads(f.readline()) for _ in range(2)]
+    finally:
+        conn.close()
+    t.join(timeout=120)
+    assert rc == [0]
+    assert got[0]["id"] == 9 and got[0]["stats"]["served"] == 0
+    assert got[1]["id"] == 10 and got[1]["midi_b64"]
+
+
+def test_serve_client_library(tmp_path):
+    """musicvae_tpu.client.ServeClient wraps the TCP protocol: generate()
+    returns decoded SMF bytes, stats() live counters, in-band errors
+    raise ServeError and leave the connection usable."""
+    import socket
+    import threading
+    import time
+
+    import pytest as _pytest
+
+    from musicvae_tpu.client import ServeClient, ServeError
+
+    ckpt = _tiny_ckpt(tmp_path, "c4_cond")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    rc = []
+    t = threading.Thread(target=lambda: rc.append(main(
+        ["serve", "--config", "c4_cond", "--ckpt-dir", ckpt,
+         "--bars", "2", "--samples", "2", "--port", str(port),
+         "--coalesce", "2", "--max-requests", "4"])), daemon=True)
+    t.start()
+    deadline = time.time() + 120
+    while True:
+        try:
+            c = ServeClient(port=port, timeout=120)
+            break
+        except OSError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.2)
+    with c:
+        midis = c.generate(seed=7, chord=3, key=2)
+        assert len(midis) == 2 and midis[0][:4] == b"MThd"
+        with _pytest.raises(ServeError, match="chord 99 out of range"):
+            c.generate(seed=7, chord=99)
+        st = c.stats()
+        assert st["served"] == 1 and st["errors"] == 1
+        assert c.generate(seed=8)[0][:4] == b"MThd"     # still usable
+        assert c.generate(seed=7, chord=3, key=2) == midis  # deterministic
+    t.join(timeout=120)
+    assert rc == [0]
+
+
+def test_serve_load_harness(tmp_path):
+    """bench/serve_load.py spawns a service, drives concurrent clients,
+    and prints one JSON result line (the STATUS.md serving-number
+    harness, smoke-tested end to end on CPU)."""
+    import json
+    import subprocess
+    import sys
+
+    ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench", "serve_load.py"),
+         "--ckpt-dir", ckpt, "--bars", "2", "--samples", "1",
+         "--clients", "2", "--requests", "2", "--coalesce", "2"],
+        capture_output=True, text=True, timeout=300, cwd=repo)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["requests"] == 4 and result["errors"] == 0
+    assert result["req_per_s"] > 0 and result["p50_ms"] > 0
+    assert result["service_rc"] == 0
