@@ -96,6 +96,11 @@ class TrainSpec:
     eval_batches: int = 4
     holdout_frac: float = 0.1
     seed: int = 0
+    # transpose augmentation (ops/augment.py): uniform per-example pitch
+    # shift in [-K, +K] semitones, applied on device inside the train
+    # step. 0 = off (reference behavior). Refused for cond models
+    # (pitch-anchored chord/key labels would silently mistrain).
+    transpose_aug: int = 0
     remat_encoder: bool = False          # jax.checkpoint on per-bar encoder
     # Pallas loss kernel in the TRAIN step. Default off: the custom VJP is
     # a fusion barrier and XLA's fused autodiff wins end-to-end (see

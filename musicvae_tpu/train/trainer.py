@@ -140,6 +140,14 @@ def _train_step_body(cfg: Config, model, opt,
         use_pallas = (cfg.train.use_pallas_loss
                       and jax.default_backend() == "tpu")
     t = cfg.train
+    if t.transpose_aug and cfg.model.kind == "cond":
+        raise ValueError(
+            "transpose_aug is not supported for cond models: chord/key "
+            "labels are pitch-anchored, so shifted rolls under unrotated "
+            "labels would silently mistrain the conditioning")
+    if t.transpose_aug < 0:
+        raise ValueError(f"transpose_aug must be >= 0, got "
+                         f"{t.transpose_aug}")
 
     def loss_fn(params, batch, latent_rng, beta):
         kw = {}
@@ -155,6 +163,17 @@ def _train_step_body(cfg: Config, model, opt,
                                     t.beta_warmup_steps, t.beta_hold_steps,
                                     t.beta_schedule, t.beta_cycle_steps)
         step_rng, next_rng = jax.random.split(state.rng)
+        if t.transpose_aug:
+            # per-example pitch shift, on device, keyed off the same
+            # checkpointed PRNG chain as the latent noise → exact resume
+            # determinism holds with augmentation on (ops/augment.py)
+            from musicvae_tpu.ops.augment import (random_shifts,
+                                                  transpose_rolls)
+            aug_rng, step_rng = jax.random.split(step_rng)
+            batch = dict(batch)
+            batch["x"] = transpose_rolls(
+                batch["x"], random_shifts(aug_rng, batch["x"].shape[0],
+                                          t.transpose_aug))
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, batch, step_rng, beta)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)

@@ -426,3 +426,59 @@ def test_bad_sample_mode_rejected():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sample_mode"):
         make_generate_fn(cfg)
+
+
+def test_transpose_rolls_matches_numpy():
+    """ops/augment.transpose_rolls: per-example pitch shift with zero
+    fill at the edges, dtype-preserving, exact vs a numpy reference."""
+    from musicvae_tpu.ops.augment import transpose_rolls
+
+    rng = np.random.default_rng(0)
+    x = (rng.random((5, 2, 8, 16)) < 0.3).astype(np.uint8)
+    shifts = np.array([-3, 0, 2, 15, -16], np.int32)
+
+    def ref(x, shifts):
+        out = np.zeros_like(x)
+        p = x.shape[-1]
+        for b, s in enumerate(shifts):
+            for q in range(p):
+                if 0 <= q - s < p:
+                    out[b, ..., q] = x[b, ..., q - s]
+        return out
+
+    got = np.asarray(jax.jit(transpose_rolls)(x, shifts))
+    assert got.dtype == x.dtype
+    np.testing.assert_array_equal(got, ref(x, shifts))
+    # float path + identity shift
+    xf = x.astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(transpose_rolls(xf, np.zeros(5, np.int32))), xf)
+
+
+def test_train_step_transpose_aug(corpus):
+    """transpose_aug trains (finite loss), actually changes the data the
+    step sees (metrics differ from aug=0 on the same state+batch), is
+    deterministic per state.rng, and is refused for cond models."""
+    from musicvae_tpu.config import C4_COND
+
+    cfg0 = tiny(cpu_friendly(C2_GRU_4BAR))
+    cfg2 = cfg0.replace(
+        train=dataclasses.replace(cfg0.train, transpose_aug=3))
+    ds = PianoRollDataset.from_corpus(corpus, cfg0.midi, cfg0.model.num_bars)
+    batch = ds.batch(np.arange(cfg0.train.batch_size) % len(ds))
+    # the step donates its state: give each call a fresh (deterministic,
+    # seed-identical) state instead of reusing a consumed one
+    model, _ = create_state(cfg0)
+    _, m0 = make_train_step(cfg0, model, use_pallas=False)(
+        create_state(cfg0)[1], batch)
+    step_aug = make_train_step(cfg2, model, use_pallas=False)
+    _, ma = step_aug(create_state(cfg0)[1], batch)
+    _, mb = step_aug(create_state(cfg0)[1], batch)
+    assert np.isfinite(float(ma["loss"]))
+    assert float(ma["loss"]) == float(mb["loss"])      # deterministic
+    assert float(ma["loss"]) != float(m0["loss"])      # data actually moved
+
+    cfg_cond = tiny(cpu_friendly(C4_COND)).replace(
+        train=dataclasses.replace(tiny(C4_COND).train, transpose_aug=2))
+    with pytest.raises(ValueError, match="cond"):
+        make_train_step(cfg_cond, build_model(cfg_cond), use_pallas=False)
