@@ -1235,7 +1235,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--transpose-aug", type=int, default=None,
                    help="on-device pitch-transpose augmentation: uniform "
                         "per-example shift in [-K, +K] semitones per "
-                        "step (0 = off; not supported for cond models)")
+                        "step; cond models rotate chord/key labels with "
+                        "the shift (0 = off)")
     p.add_argument("--holdout-frac", type=float, default=None,
                    help="fraction of pieces held out for eval "
                         "(config default 0.1)")

@@ -98,8 +98,8 @@ class TrainSpec:
     seed: int = 0
     # transpose augmentation (ops/augment.py): uniform per-example pitch
     # shift in [-K, +K] semitones, applied on device inside the train
-    # step. 0 = off (reference behavior). Refused for cond models
-    # (pitch-anchored chord/key labels would silently mistrain).
+    # step; cond models rotate chord/key labels with the shift. 0 = off
+    # (reference behavior).
     transpose_aug: int = 0
     remat_encoder: bool = False          # jax.checkpoint on per-bar encoder
     # Pallas loss kernel in the TRAIN step. Default off: the custom VJP is

@@ -9,9 +9,13 @@ second copy of the corpus, exact resume determinism (the shift PRNG hangs
 off the checkpointed per-step key chain).
 
 Enabled with ``TrainSpec.transpose_aug = K`` / ``train --transpose-aug K``
-(uniform shift in [-K, +K] semitones per example per step). Refused for
-cond models: chord/key labels are pitch-anchored and would silently
-mistrain under unrotated labels (trainer._train_step_body raises).
+(uniform shift in [-K, +K] semitones per example per step). For cond
+models the chord/key labels rotate WITH the shift
+(``rotate_chord_classes`` — the ``root*2 + minor`` encoding of
+midi/labels.py transposes as root → (root+s) mod 12 with the quality bit
+untouched), so the conditioning stays consistent with the shifted
+content; non-24-class label spaces are refused (unknown encoding,
+trainer._train_step_body raises).
 """
 
 from __future__ import annotations
@@ -39,3 +43,13 @@ def transpose_rolls(x: jax.Array, shifts: jax.Array) -> jax.Array:
 def random_shifts(key: jax.Array, batch: int, max_shift: int) -> jax.Array:
     """Uniform per-example shifts in [-max_shift, +max_shift]."""
     return jax.random.randint(key, (batch,), -max_shift, max_shift + 1)
+
+
+def rotate_chord_classes(classes: jax.Array,
+                         shifts: jax.Array) -> jax.Array:
+    """Transpose ``root*2 + minor`` chord/key classes (midi/labels.py)
+    by ``shifts`` semitones: root moves (root+s) mod 12 (octave
+    equivalence), the major/minor quality bit is untouched. Works for
+    negative shifts (jnp's mod is non-negative for a positive divisor);
+    shapes broadcast (e.g. chord [B,N] against shifts [B,1])."""
+    return ((classes // 2 + shifts) % 12) * 2 + classes % 2

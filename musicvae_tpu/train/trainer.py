@@ -140,11 +140,15 @@ def _train_step_body(cfg: Config, model, opt,
         use_pallas = (cfg.train.use_pallas_loss
                       and jax.default_backend() == "tpu")
     t = cfg.train
-    if t.transpose_aug and cfg.model.kind == "cond":
+    if t.transpose_aug and cfg.model.kind == "cond" and (
+            cfg.model.cond_chord_classes != 24
+            or cfg.model.cond_key_classes != 24):
         raise ValueError(
-            "transpose_aug is not supported for cond models: chord/key "
-            "labels are pitch-anchored, so shifted rolls under unrotated "
-            "labels would silently mistrain the conditioning")
+            "transpose_aug on a cond model rotates chord/key labels with "
+            "the pitch shift, which requires the 24-class root*2+minor "
+            "encoding (midi/labels.py); got "
+            f"{cfg.model.cond_chord_classes}/{cfg.model.cond_key_classes} "
+            "classes — an unknown encoding cannot be rotated safely")
     if t.transpose_aug < 0:
         raise ValueError(f"transpose_aug must be >= 0, got "
                          f"{t.transpose_aug}")
@@ -168,12 +172,20 @@ def _train_step_body(cfg: Config, model, opt,
             # checkpointed PRNG chain as the latent noise → exact resume
             # determinism holds with augmentation on (ops/augment.py)
             from musicvae_tpu.ops.augment import (random_shifts,
+                                                  rotate_chord_classes,
                                                   transpose_rolls)
             aug_rng, step_rng = jax.random.split(step_rng)
             batch = dict(batch)
-            batch["x"] = transpose_rolls(
-                batch["x"], random_shifts(aug_rng, batch["x"].shape[0],
-                                          t.transpose_aug))
+            shifts = random_shifts(aug_rng, batch["x"].shape[0],
+                                   t.transpose_aug)
+            batch["x"] = transpose_rolls(batch["x"], shifts)
+            if cfg.model.kind == "cond":
+                # labels transpose with the content (root*2+minor
+                # encoding rotates exactly; guarded at build time)
+                batch["chord"] = rotate_chord_classes(
+                    batch["chord"], shifts[:, None])
+                batch["key_sig"] = rotate_chord_classes(
+                    batch["key_sig"], shifts)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, batch, step_rng, beta)
         updates, new_opt = opt.update(grads, state.opt_state, state.params)

@@ -478,7 +478,45 @@ def test_train_step_transpose_aug(corpus):
     assert float(ma["loss"]) == float(mb["loss"])      # deterministic
     assert float(ma["loss"]) != float(m0["loss"])      # data actually moved
 
-    cfg_cond = tiny(cpu_friendly(C4_COND)).replace(
-        train=dataclasses.replace(tiny(C4_COND).train, transpose_aug=2))
-    with pytest.raises(ValueError, match="cond"):
-        make_train_step(cfg_cond, build_model(cfg_cond), use_pallas=False)
+    # cond models train under augmentation too (labels rotate with the
+    # shift); a non-rotatable label encoding is refused at build time
+    cfg_cond = tiny(cpu_friendly(C4_COND))
+    cfg_cond = cfg_cond.replace(
+        train=dataclasses.replace(cfg_cond.train, transpose_aug=2))
+    ds_c = PianoRollDataset.from_corpus(corpus, cfg_cond.midi,
+                                        cfg_cond.model.num_bars)
+    b = ds_c.batch(np.arange(cfg_cond.train.batch_size) % len(ds_c))
+    rng = np.random.default_rng(0)
+    b["chord"] = rng.integers(0, 24, b["x"].shape[:2]).astype(np.int32)
+    b["key_sig"] = rng.integers(0, 24, (b["x"].shape[0],)).astype(np.int32)
+    model_c, state_c = create_state(cfg_cond)
+    _, mc = make_train_step(cfg_cond, model_c, use_pallas=False)(state_c, b)
+    assert np.isfinite(float(mc["loss"]))
+
+    cfg_bad = cfg_cond.replace(model=dataclasses.replace(
+        cfg_cond.model, cond_chord_classes=8))
+    with pytest.raises(ValueError, match="cannot be rotated"):
+        make_train_step(cfg_bad, build_model(cfg_bad), use_pallas=False)
+
+
+def test_rotate_chord_classes():
+    """root*2+minor classes transpose exactly: root moves mod 12, the
+    quality bit survives, negative shifts wrap."""
+    from musicvae_tpu.ops.augment import rotate_chord_classes
+
+    classes = np.array([0, 1, 22, 23, 8, 9], np.int32)   # C, Cm, B, Bm...
+    got = np.asarray(rotate_chord_classes(classes, np.int32(2)))
+    np.testing.assert_array_equal(got, [4, 5, 2, 3, 12, 13])
+    got = np.asarray(rotate_chord_classes(classes, np.int32(-3)))
+    np.testing.assert_array_equal(got, [18, 19, 16, 17, 2, 3])
+    # broadcast: [B,N] chords against [B,1] shifts
+    chords = np.array([[0, 2], [4, 6]], np.int32)
+    shifts = np.array([[1], [-2]], np.int32)
+    got = np.asarray(rotate_chord_classes(chords, shifts))
+    np.testing.assert_array_equal(got, [[2, 4], [0, 2]])
+    # quality bit is untouched for every class/shift
+    all_classes = np.arange(24, dtype=np.int32)
+    for s in (-12, -1, 0, 5, 11, 12):
+        rot = np.asarray(rotate_chord_classes(all_classes, np.int32(s)))
+        np.testing.assert_array_equal(rot % 2, all_classes % 2)
+        assert sorted(rot.tolist()) == list(range(24))   # a permutation
