@@ -904,14 +904,27 @@ class _Batcher:
         self.q.put((seed, arrays, fut))
         return fut
 
+    def stop(self) -> None:
+        """End the dispatcher thread once the server is done (in-process
+        callers like the test suite would otherwise accumulate one
+        parked daemon thread per service)."""
+        self.q.put(None)
+
     def _loop(self) -> None:
         while True:
-            items = [self.q.get()]
+            first = self.q.get()
+            if first is None:               # stop() sentinel
+                return
+            items = [first]
             while len(items) < self.runner.width:
                 try:
-                    items.append(self.q.get_nowait())
+                    nxt = self.q.get_nowait()
                 except self._empty:
                     break
+                if nxt is None:
+                    self.q.put(None)        # re-arm: drain this batch first
+                    break
+                items.append(nxt)
             try:
                 results = self.runner.run([(s, a) for s, a, _ in items])
                 for (_, _, fut), bars in zip(items, results):
@@ -1189,6 +1202,9 @@ def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
             server.serve_forever(poll_interval=0.1)
         except KeyboardInterrupt:
             pass
+        finally:
+            if batcher is not None:
+                batcher.stop()
     dt = (time.perf_counter() - counts["t0"]) \
         if counts["t0"] is not None else 0.0
     rate = f" ({counts['served'] / dt:.1f} req/s)" \
