@@ -115,7 +115,13 @@ def test_desynced_host_data_fails_fast():
     """A host whose corpus silently diverges (one flipped cell) must be
     caught by the startup cross-process hash guard on EVERY process —
     not train on divergent shards (round-2 weak #3: the put_global
-    contract was unchecked at runtime)."""
-    port = _free_port()
-    res = _run(2, f"127.0.0.1:{port}", mode="desync")
+    contract was unchecked at runtime).
+
+    One retry: under full-suite CPU load the 2-process jax.distributed
+    startup can time out (observed once in ~10 suite runs); a real guard
+    regression fails deterministically on both attempts."""
+    try:
+        res = _run(2, f"127.0.0.1:{_free_port()}", mode="desync")
+    except (AssertionError, subprocess.TimeoutExpired):
+        res = _run(2, f"127.0.0.1:{_free_port()}", mode="desync")
     assert all(r["desync_caught"] for r in res), res
