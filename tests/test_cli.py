@@ -554,13 +554,17 @@ def test_serve_stdin_coalesce_matches_serial(tmp_path, capsys, monkeypatch):
     import io
     import json
 
+    import base64
+
     ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+    seed_b64 = base64.b64encode(
+        open(_write_seed_midi(tmp_path), "rb").read()).decode()
     requests = "\n".join([
         json.dumps({"id": 1, "seed": 7}),
         json.dumps({"id": 2, "seed": 8}),
         "not json",
         json.dumps({"id": 3, "seed": 7}),       # same seed as id 1
-        json.dumps({"id": 4, "seed": 9}),
+        json.dumps({"id": 4, "seed": 9, "seed_midi_b64": seed_b64}),
     ]) + "\n"
 
     outs = {}
