@@ -517,6 +517,10 @@ def cmd_serve(args) -> int:
                  {served, errors, requests, step, config, samples, bars,
                   uptime_s}} — live in-band introspection (hot reloads
                  show up as ``step`` changes)
+      reload:   {"id": any, "cmd": "reload"} → {"id": any, "reloaded":
+                 step|null, "step": current} — push-style checkpoint
+                 reload (a training host can POST this right after a
+                 save instead of waiting out the --reload-every poll)
 
     ``chord``/``key`` (cond models) never change the trace signature —
     omitted fields are filled with host-random classes so the program
@@ -703,27 +707,29 @@ def cmd_serve(args) -> int:
     if args.coalesce > 1:
         banner += f", coalescing up to {args.coalesce} requests/dispatch"
 
+    reload_once = _make_reload_once(manager, state, mesh, store)
     stop_reload = threading.Event()
     if args.reload_every > 0:
-        _start_reload_watcher(args, manager, state, mesh, store,
-                              stop_reload)
+        _start_reload_watcher(args.reload_every, reload_once, stop_reload)
     try:
         if args.port is not None:
             return _serve_socket(args, cfg, dispatch, to_host, store,
                                  request_kwargs, banner,
                                  runner=runner,
-                                 request_arrays=request_arrays)
+                                 request_arrays=request_arrays,
+                                 reload_once=reload_once)
         if args.coalesce > 1:
             return _serve_stdin_coalesced(args, cfg, runner,
-                                          request_arrays, banner)
+                                          request_arrays, banner,
+                                          reload_once)
         return _serve_stdin_serial(args, cfg, dispatch, to_host, store,
-                                   request_kwargs, banner)
+                                   request_kwargs, banner, reload_once)
     finally:
         stop_reload.set()
 
 
 def _serve_stdin_serial(args, cfg, dispatch, to_host, store,
-                        request_kwargs, banner: str) -> int:
+                        request_kwargs, banner: str, reload_once) -> int:
     """Default stdin transport: one request, one device dispatch (see
     cmd_serve's docstring for the protocol and the --pipeline A/B)."""
     import base64
@@ -797,6 +803,11 @@ def _serve_stdin_serial(args, cfg, dispatch, to_host, store,
                 print(json.dumps(_stats_response(
                     rid, cfg, store, served, errors, n_requests,
                     t_start)), flush=True)
+                continue
+            if req.get("cmd") == "reload":
+                _flush()
+                print(json.dumps({"id": rid, "reloaded": reload_once(),
+                                  "step": store["step"]}), flush=True)
                 continue
             seed = int(req.get("seed", n_requests))
             n_requests += 1
@@ -935,12 +946,15 @@ class _Batcher:
 
 
 def _serve_stdin_coalesced(args, cfg, runner, request_arrays,
-                           banner: str) -> int:
+                           banner: str, reload_once) -> int:
     """stdin transport under ``--coalesce W``: drain up to W already-
     queued request lines per iteration and answer them from ONE device
     dispatch. Responses keep request order; malformed requests get their
     in-band error in position without poisoning the batch; a device
-    error inside a batch is reported under every affected request id."""
+    error inside a batch is reported under every affected request id.
+    A ``{"cmd": "reload"}`` that lands mid-batch acts as a barrier: the
+    drained batch splits around it, so generations after the reload run
+    on the reloaded params — effects are strictly in request order."""
     import base64
     import json
     import queue as queue_mod
@@ -984,8 +998,8 @@ def _serve_stdin_coalesced(args, cfg, runner, request_arrays,
             try:
                 req = json.loads(line)
                 rid = req.get("id")
-                if req.get("cmd") == "stats":
-                    entries.append((rid, "stats", None))
+                if req.get("cmd") in ("stats", "reload"):
+                    entries.append((rid, req["cmd"], None))
                     continue
                 seed = int(req.get("seed", n_requests))
                 n_requests += 1
@@ -997,37 +1011,64 @@ def _serve_stdin_coalesced(args, cfg, runner, request_arrays,
         t_req = time.perf_counter()
         if t_serve0 is None:
             t_serve0 = t_req
-        ok = [(seed, arrays) for _, seed, arrays in entries
-              if seed is not None and seed != "stats"]
-        try:
-            results = iter(runner.run(ok) if ok else [])
-            run_err = None
-        except Exception as e:
-            results, run_err = iter([]), f"{type(e).__name__}: {e}"
-        for rid, seed, payload in entries:
-            if seed == "stats":
-                print(json.dumps(_stats_response(
-                    rid, cfg, runner.store, served, errors, n_requests,
-                    t_start)), flush=True)
-            elif seed is None:
-                errors += 1
-                print(json.dumps({"id": rid, "error": payload}),
-                      flush=True)
-            elif run_err is not None:
-                errors += 1
-                print(json.dumps({"id": rid, "error": run_err}),
-                      flush=True)
+        # a reload is a BARRIER: it splits the drained batch so every
+        # generation after it (even in the same drain window) runs on
+        # the reloaded params — effects, like responses, are strictly
+        # in request order
+        groups: list = [[]]
+        for e in entries:
+            if e[1] == "reload":
+                groups.append(e)
+                groups.append([])
             else:
-                bars = next(results)
-                midis = [base64.b64encode(
-                             bars_to_midi(bars[i], cfg)).decode()
-                         for i in range(bars.shape[0])]
-                print(json.dumps({"id": rid, "midi_b64": midis,
-                                  "density": float(bars.mean()),
-                                  "latency_ms": round(
-                                      1e3 * (time.perf_counter() - t_req),
-                                      1)}), flush=True)
-                served += 1
+                groups[-1].append(e)
+        for grp in groups:
+            if isinstance(grp, tuple):      # the reload barrier itself
+                rid = grp[0]
+                try:
+                    print(json.dumps(
+                        {"id": rid, "reloaded": reload_once(),
+                         "step": runner.store["step"]}), flush=True)
+                except Exception as e:
+                    errors += 1
+                    print(json.dumps({"id": rid,
+                                      "error": f"{type(e).__name__}: "
+                                               f"{e}"}), flush=True)
+                continue
+            if not grp:
+                continue
+            ok = [(seed, arrays) for _, seed, arrays in grp
+                  if seed is not None and seed != "stats"]
+            try:
+                results = iter(runner.run(ok) if ok else [])
+                run_err = None
+            except Exception as e:
+                results, run_err = iter([]), f"{type(e).__name__}: {e}"
+            for rid, seed, payload in grp:
+                if seed == "stats":
+                    print(json.dumps(_stats_response(
+                        rid, cfg, runner.store, served, errors,
+                        n_requests, t_start)), flush=True)
+                elif seed is None:
+                    errors += 1
+                    print(json.dumps({"id": rid, "error": payload}),
+                          flush=True)
+                elif run_err is not None:
+                    errors += 1
+                    print(json.dumps({"id": rid, "error": run_err}),
+                          flush=True)
+                else:
+                    bars = next(results)
+                    midis = [base64.b64encode(
+                                 bars_to_midi(bars[i], cfg)).decode()
+                             for i in range(bars.shape[0])]
+                    print(json.dumps(
+                        {"id": rid, "midi_b64": midis,
+                         "density": float(bars.mean()),
+                         "latency_ms": round(
+                             1e3 * (time.perf_counter() - t_req), 1)}),
+                        flush=True)
+                    served += 1
     dt = (time.perf_counter() - t_serve0) if t_serve0 is not None else 0.0
     rate = f" ({served / dt:.1f} req/s)" if served and dt > 0 else ""
     print(f"served {served} requests, {errors} errors in {dt:.1f}s{rate}",
@@ -1035,17 +1076,20 @@ def _serve_stdin_coalesced(args, cfg, runner, request_arrays,
     return 0
 
 
-def _start_reload_watcher(args, manager, template_state, mesh, store,
-                          stop) -> None:
-    """Hot checkpoint reload for ``serve --reload-every SECS``: a daemon
-    thread polls the checkpoint directory and swaps new params into the
-    shared ``store`` — the train→serve loop without a service restart.
-    Shapes are fixed by the checkpoint's own config, so a reload never
-    retraces a compiled program; requests dispatched before the swap
-    finish on the params they started with. A step that fails to restore
-    (e.g. caught mid-write before Orbax commits) is retried at the next
-    poll and NEVER quarantines anything — the training process owns the
-    directory; the server is a read-only observer."""
+def _make_reload_once(manager, template_state, mesh, store):
+    """Hot checkpoint reload for serve: returns ``reload_once() ->
+    Optional[int]`` which checks the checkpoint directory and, if a
+    newer step exists, swaps its params into the shared ``store`` (and
+    returns the step; None if already current) — the train→serve loop
+    without a service restart. Shapes are fixed by the checkpoint's own
+    config, so a reload never retraces a compiled program; requests
+    dispatched before the swap finish on the params they started with.
+    A step that fails to restore (e.g. caught mid-write before Orbax
+    commits) raises — callers retry (watcher) or report in-band
+    (``{"cmd": "reload"}``) — and NEVER quarantines anything: the
+    training process owns the directory; the server is a read-only
+    observer. Thread-safe (one reload at a time; push and poll modes
+    can coexist)."""
     import threading
 
     import jax
@@ -1053,20 +1097,35 @@ def _start_reload_watcher(args, manager, template_state, mesh, store,
     from musicvae_tpu import checkpoints
     from musicvae_tpu.parallel import replicated
 
+    lock = threading.Lock()
+
+    def reload_once():
+        with lock:
+            manager.reload()            # see steps saved since startup
+            latest = manager.latest_step()
+            if latest is None or latest <= store["step"]:
+                return None
+            new_state, _ = checkpoints.restore(manager, template_state,
+                                               step=latest)  # strict
+            store["params"] = jax.device_put(new_state.params,
+                                             replicated(mesh))
+            store["step"] = latest
+            print(f"reloaded checkpoint step {latest}", file=sys.stderr)
+            return latest
+
+    return reload_once
+
+
+def _start_reload_watcher(every: float, reload_once, stop) -> None:
+    """``serve --reload-every SECS``: poll-mode reload — a daemon thread
+    calls ``reload_once`` on a cadence; failures are logged and retried
+    at the next poll (see _make_reload_once for the swap semantics)."""
+    import threading
+
     def _watch():
-        while not stop.wait(args.reload_every):
+        while not stop.wait(every):
             try:
-                manager.reload()            # see steps saved since startup
-                latest = manager.latest_step()
-                if latest is None or latest <= store["step"]:
-                    continue
-                new_state, _ = checkpoints.restore(manager, template_state,
-                                                   step=latest)  # strict
-                store["params"] = jax.device_put(new_state.params,
-                                                 replicated(mesh))
-                store["step"] = latest
-                print(f"reloaded checkpoint step {latest}",
-                      file=sys.stderr)
+                reload_once()
             except Exception as e:
                 print(f"warning: checkpoint reload failed "
                       f"({type(e).__name__}: {e}); will retry",
@@ -1076,7 +1135,8 @@ def _start_reload_watcher(args, manager, template_state, mesh, store,
 
 
 def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
-                  banner: str, runner=None, request_arrays=None) -> int:
+                  banner: str, runner=None, request_arrays=None,
+                  reload_once=None) -> int:
     """Multi-client transport for ``serve``: a threaded TCP server
     speaking the same line-delimited JSON protocol, one thread per
     connection, all multiplexed onto the ONE generation program compiled
@@ -1131,12 +1191,16 @@ def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
                 try:
                     req = json.loads(line)
                     rid = req.get("id")
-                    if req.get("cmd") == "stats":
-                        with state_lock:
-                            resp = _stats_response(
-                                rid, cfg, store, counts["served"],
-                                counts["errors"], counts["requests"],
-                                t_start)
+                    if req.get("cmd") in ("stats", "reload"):
+                        if req["cmd"] == "stats":
+                            with state_lock:
+                                resp = _stats_response(
+                                    rid, cfg, store, counts["served"],
+                                    counts["errors"], counts["requests"],
+                                    t_start)
+                        else:
+                            resp = {"id": rid, "reloaded": reload_once(),
+                                    "step": store["step"]}
                         try:
                             self.wfile.write(
                                 (json.dumps(resp) + "\n").encode())

@@ -96,3 +96,10 @@ class ServeClient:
         ``step`` (watch hot reloads land), config name, request shape,
         uptime."""
         return self.request({"cmd": "stats"})["stats"]
+
+    def reload(self) -> Optional[int]:
+        """Push-style checkpoint reload: ask the service to check its
+        checkpoint directory NOW (e.g. right after a training save)
+        instead of waiting out its --reload-every poll. Returns the new
+        step, or None if the service was already current."""
+        return self.request({"cmd": "reload"})["reloaded"]

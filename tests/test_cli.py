@@ -858,3 +858,106 @@ def test_serve_load_harness(tmp_path):
     assert result["requests"] == 4 and result["errors"] == 0
     assert result["req_per_s"] > 0 and result["p50_ms"] > 0
     assert result["service_rc"] == 0
+
+
+def test_serve_push_reload(tmp_path, capsys, monkeypatch):
+    """{"cmd": "reload"} hot-swaps a newer checkpoint on demand (push
+    mode — no --reload-every poll, no timing): the same seed answers
+    differently after the reload and identically to a fresh service; a
+    reload with nothing new answers {"reloaded": null}. Covered on the
+    serial and coalesced stdin paths plus the TCP transport."""
+    import dataclasses
+    import io
+    import json
+    import socket
+    import threading
+    import time
+
+    import jax
+
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.config import get_config
+    from musicvae_tpu.train import create_state
+
+    ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+
+    def write_step2():
+        cfg = get_config("c1_conv_bar")
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, enc_channels=(4, 8, 8, 8, 8),
+                dec_channels=(8, 8, 8, 8, 8), z_dim=16, gru_hidden=32,
+                bar_feat_dim=32, dtype="float32"),
+            train=dataclasses.replace(cfg.train, batch_size=4))
+        _, state = create_state(cfg)
+        state = state.replace(
+            step=state.step + 2,
+            params=jax.tree.map(lambda a: a + 0.5, state.params))
+        mgr = checkpoints.make_manager(str(tmp_path / "ckpt"), keep=2)
+        checkpoints.save(mgr, state, cfg, wait=True)
+
+    class PacedStdin:
+        def __iter__(self):
+            yield json.dumps({"id": 0, "cmd": "reload"}) + "\n"  # nothing new
+            yield json.dumps({"id": 1, "seed": 7}) + "\n"
+            time.sleep(0.3)
+            write_step2()
+            yield json.dumps({"id": 2, "cmd": "reload"}) + "\n"
+            yield json.dumps({"id": 3, "seed": 7}) + "\n"
+
+    for extra in ([], ["--coalesce", "2"]):
+        # reset to the step-1 checkpoint for each mode
+        import shutil
+        shutil.rmtree(tmp_path / "ckpt", ignore_errors=True)
+        ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+        capsys.readouterr()
+        monkeypatch.setattr("sys.stdin", PacedStdin())
+        assert main(["serve", "--config", "c1_conv_bar", "--ckpt-dir",
+                     ckpt, "--bars", "2", "--samples", "2"] + extra) == 0
+        lines = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()]
+        assert [l["id"] for l in lines] == [0, 1, 2, 3], extra
+        assert lines[0]["reloaded"] is None and lines[0]["step"] == 1
+        assert lines[2]["reloaded"] == 2 and lines[2]["step"] == 2
+        assert lines[1]["midi_b64"] != lines[3]["midi_b64"], extra
+
+        # post-reload response == a fresh service on the new checkpoint
+        monkeypatch.setattr(
+            "sys.stdin", io.StringIO(json.dumps({"id": 9, "seed": 7}) + "\n"))
+        assert main(["serve", "--config", "c1_conv_bar", "--ckpt-dir",
+                     ckpt, "--bars", "2", "--samples", "2"]) == 0
+        fresh = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()]
+        assert fresh[0]["midi_b64"] == lines[3]["midi_b64"], extra
+
+    # TCP transport: reload with nothing new answers null, service keeps
+    # serving (generation counts toward --max-requests, reload doesn't)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    rc = []
+    t = threading.Thread(target=lambda: rc.append(main(
+        ["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+         "--bars", "2", "--samples", "1", "--port", str(port),
+         "--max-requests", "1"])), daemon=True)
+    t.start()
+    deadline = time.time() + 120
+    while True:
+        try:
+            conn = socket.create_connection(("127.0.0.1", port), timeout=5)
+            break
+        except OSError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.2)
+    try:
+        conn.sendall((json.dumps({"id": 0, "cmd": "reload"}) + "\n"
+                      + json.dumps({"id": 1, "seed": 4}) + "\n").encode())
+        f = conn.makefile("r")
+        got = [json.loads(f.readline()) for _ in range(2)]
+    finally:
+        conn.close()
+    t.join(timeout=120)
+    assert rc == [0]
+    assert got[0]["reloaded"] is None and got[0]["step"] == 2
+    assert got[1]["midi_b64"]
