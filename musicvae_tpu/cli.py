@@ -449,58 +449,103 @@ def cmd_convert(args) -> int:
 
       convert --from-torch model.pt --config c2_gru_4bar --out ckpt_dir
       convert --to-torch ckpt_dir --out model.pt
+      convert --from-safetensors model.safetensors --config … --out dir
+      convert --to-safetensors ckpt_dir --out model.safetensors
 
     --from-torch accepts a bare state_dict or a reference-style
     {'model': state_dict, ...} bundle; optimizer moments do NOT convert
     (torch Adam state has no optax pytree correspondence) — the written
     checkpoint carries a fresh optimizer at --step (default 0).
+    safetensors files use the SAME canonical tensor names as the torch
+    export (one naming, three formats), so any safetensors tool and the
+    torch oracle agree on what each tensor is.
     """
     import jax
     import jax.numpy as jnp
     from musicvae_tpu import checkpoints
     from musicvae_tpu.train import create_state
 
-    if bool(args.from_torch) == bool(args.to_torch):
+    sources = [args.from_torch, args.to_torch,
+               getattr(args, "from_safetensors", None),
+               getattr(args, "to_safetensors", None)]
+    if sum(bool(s) for s in sources) != 1:
         print("error: convert needs exactly one of --from-torch / "
-              "--to-torch", file=sys.stderr)
+              "--to-torch / --from-safetensors / --to-safetensors",
+              file=sys.stderr)
         return 2
-    if args.from_torch:
-        import torch
+
+    def _import(sd, src):
         from musicvae_tpu.checkpoints.torch_convert import \
             torch_state_dict_to_flax
         from musicvae_tpu.config import get_config
         cfg = get_config(args.config)
-        sd = torch.load(args.from_torch, map_location="cpu",
-                        weights_only=True)
-        if isinstance(sd, dict) and "model" in sd \
-                and not any("." in k for k in sd):
-            sd = sd["model"]        # reference-style training bundle
         params = torch_state_dict_to_flax(sd, cfg)
         _, state = create_state(cfg)
+        # validate against the config's own shapes BEFORE writing: a
+        # state dict from a differently-sized model would otherwise
+        # produce a checkpoint that only fails much later, at load time
+        mismatches = []
+        jax.tree_util.tree_map_with_path(
+            lambda path, want, got: mismatches.append(
+                f"{jax.tree_util.keystr(path)}: file has "
+                f"{np.asarray(got).shape}, config {cfg.name} expects "
+                f"{np.asarray(want).shape}")
+            if np.asarray(got).shape != np.asarray(want).shape else None,
+            state.params, params)
+        if mismatches:
+            print("error: state dict does not match config "
+                  f"{cfg.name!r}:\n  " + "\n  ".join(mismatches[:8]),
+                  file=sys.stderr)
+            return 2
         state = state.replace(
             params=jax.tree.map(jnp.asarray, params),
             step=jnp.asarray(args.step, jnp.int32))
         mgr = checkpoints.make_manager(args.out, keep=1)
         checkpoints.save(mgr, state, cfg, wait=True)
         n = sum(np.asarray(p).size for p in jax.tree.leaves(params))
-        print(f"converted {args.from_torch} -> {args.out} "
+        print(f"converted {src} -> {args.out} "
               f"(config {cfg.name}, {n} params, step {args.step})")
-    else:
-        import torch
+        return 0
+
+    def _export(ckpt_dir):
         from musicvae_tpu.checkpoints.torch_convert import \
             flax_params_to_torch_state_dict
-        mgr = checkpoints.make_manager(args.to_torch)
+        mgr = checkpoints.make_manager(ckpt_dir)
         if mgr.latest_step() is None:
-            raise FileNotFoundError(f"no checkpoint in {args.to_torch}")
+            raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
         cfg = checkpoints.restore_config(mgr)
         _, state = create_state(cfg)
         state, _ = checkpoints.restore(mgr, state)
         sd = flax_params_to_torch_state_dict(
             jax.device_get(state.params), cfg)
+        return sd, cfg, int(jax.device_get(state.step))
+
+    if args.from_torch:
+        import torch
+        sd = torch.load(args.from_torch, map_location="cpu",
+                        weights_only=True)
+        if isinstance(sd, dict) and "model" in sd \
+                and not any("." in k for k in sd):
+            sd = sd["model"]        # reference-style training bundle
+        return _import(sd, args.from_torch)
+    elif args.from_safetensors:
+        from safetensors.torch import load_file
+        return _import(load_file(args.from_safetensors),
+                       args.from_safetensors)
+    elif args.to_torch:
+        import torch
+        sd, cfg, step = _export(args.to_torch)
         torch.save(sd, args.out)
         print(f"converted {args.to_torch} (config {cfg.name}, step "
-              f"{int(jax.device_get(state.step))}) -> {args.out} "
-              f"({len(sd)} tensors)")
+              f"{step}) -> {args.out} ({len(sd)} tensors)")
+    else:
+        from safetensors.torch import save_file
+        sd, cfg, step = _export(args.to_safetensors)
+        save_file({k: v.contiguous() for k, v in sd.items()}, args.out,
+                  metadata={"config": cfg.name, "step": str(step),
+                            "format": "musicvae_tpu/torch-names"})
+        print(f"converted {args.to_safetensors} (config {cfg.name}, "
+              f"step {step}) -> {args.out} ({len(sd)} tensors)")
     return 0
 
 
@@ -1383,9 +1428,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--to-torch", default=None, metavar="CKPT_DIR",
                    help="Orbax checkpoint dir to export; writes a torch "
                         "state_dict to --out")
+    p.add_argument("--from-safetensors", default=None, metavar="ST",
+                   help="safetensors file to import (same canonical "
+                        "tensor names as the torch export); writes an "
+                        "Orbax checkpoint to --out")
+    p.add_argument("--to-safetensors", default=None, metavar="CKPT_DIR",
+                   help="Orbax checkpoint dir to export as a safetensors "
+                        "file at --out (config/step in the metadata)")
     p.add_argument("--out", required=True,
-                   help="destination (ckpt dir for --from-torch, .pt for "
-                        "--to-torch)")
+                   help="destination (ckpt dir for --from-*, file path "
+                        "for --to-*)")
     p.add_argument("--step", type=int, default=0,
                    help="--from-torch: step number for the written "
                         "checkpoint")

@@ -961,3 +961,56 @@ def test_serve_push_reload(tmp_path, capsys, monkeypatch):
     assert rc == [0]
     assert got[0]["reloaded"] is None and got[0]["step"] == 2
     assert got[1]["midi_b64"]
+
+
+def test_convert_safetensors_roundtrip(tmp_path, capsys):
+    """convert --to-safetensors / --from-safetensors round-trips params
+    exactly, shares the torch export's canonical tensor names, and
+    carries config/step metadata."""
+    import jax
+    from safetensors import safe_open
+
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.train import create_state
+
+    ckpt = _tiny_ckpt(tmp_path, "c2_gru_4bar")
+    st = str(tmp_path / "m.safetensors")
+    assert main(["convert", "--to-safetensors", ckpt, "--out", st]) == 0
+
+    with safe_open(st, framework="np") as f:
+        meta = f.metadata()
+        names = set(f.keys())
+    assert meta["config"] == "c2_gru_4bar" and meta["step"] == "1"
+    # same canonical names as the torch export
+    pt = str(tmp_path / "m.pt")
+    assert main(["convert", "--to-torch", ckpt, "--out", pt]) == 0
+    import torch
+    assert names == set(torch.load(pt, weights_only=True).keys())
+
+    # importing under a config whose shapes don't match the file is
+    # refused BEFORE a broken checkpoint is written (the tiny test
+    # model's tensors vs canonical c2 sizes)
+    out2 = str(tmp_path / "imported")
+    assert main(["convert", "--from-safetensors", st,
+                 "--config", "c2_gru_4bar", "--out", out2, "--step",
+                 "7"]) == 2
+    assert "does not match config" in capsys.readouterr().err
+    assert not os.path.exists(out2) or not os.listdir(out2)
+
+    # exact round-trip at the file's own sizes, via the library path
+    mgr = checkpoints.make_manager(ckpt)
+    cfg = checkpoints.restore_config(mgr)
+    _, orig = create_state(cfg)
+    orig, _ = checkpoints.restore(mgr, orig)
+
+    from musicvae_tpu.checkpoints.torch_convert import \
+        torch_state_dict_to_flax
+    from safetensors.torch import load_file
+    back = torch_state_dict_to_flax(load_file(st), cfg)
+    for a, b in zip(jax.tree.leaves(jax.device_get(orig.params)),
+                    jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # exactly one direction still enforced across all four flags
+    assert main(["convert", "--to-torch", ckpt, "--to-safetensors", ckpt,
+                 "--out", st]) == 2
