@@ -442,6 +442,59 @@ def cmd_reconstruct(args) -> int:
     return 0
 
 
+def cmd_describe(args) -> int:
+    """Inspect a checkpoint directory without loading any weights onto a
+    device: the embedded config, available/quarantined steps, the best-
+    checkpoint sidecar if present, and the parameter count — the ops
+    question "what exactly is in this directory?" answered read-only."""
+    import glob as glob_mod
+    import json
+
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.models import init_params
+
+    manager = checkpoints.make_manager(args.ckpt_dir)
+    steps = sorted(manager.all_steps())
+    if not steps:
+        print(f"error: no checkpoint in {args.ckpt_dir}", file=sys.stderr)
+        return 2
+    cfg = checkpoints.restore_config(manager)
+    # param count from shapes only (eval_shape — no FLOPs; forced onto
+    # the CPU backend so describe never touches, or waits on, a TPU)
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+    shapes = jax.eval_shape(lambda k: init_params(cfg, k)[1],
+                            jax.random.key(0))
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree.leaves(shapes))
+    quarantined = sorted(
+        os.path.basename(p) for p in glob_mod.glob(
+            os.path.join(args.ckpt_dir, "*.corrupt")))
+    info = {
+        "config": cfg.name,
+        "model_kind": cfg.model.kind,
+        "params": n_params,
+        "steps": steps,
+        "latest_step": steps[-1],
+        "quarantined": quarantined,
+        "roll": f"{cfg.midi.steps_per_bar}x{cfg.midi.num_pitches}",
+        "window_bars": cfg.model.num_bars,
+        "dtype": cfg.model.dtype,
+    }
+    best_sidecar = os.path.join(args.ckpt_dir, "best", "best_metric.json")
+    if os.path.exists(best_sidecar):
+        try:
+            with open(best_sidecar) as f:
+                info["best"] = json.load(f)
+        except Exception:
+            info["best"] = "unreadable"
+    print(json.dumps(info, indent=2))
+    return 0
+
+
 def cmd_convert(args) -> int:
     """torch state-dict ↔ Orbax checkpoint conversion (SURVEY §3.5's
     parity clause at the CLI: "ELBO-equivalent reconstructions from the
@@ -1418,6 +1471,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--seed", type=int, default=0,
                    help="posterior-sample PRNG seed")
     p.set_defaults(fn=cmd_reconstruct)
+
+    p = sub.add_parser("describe",
+                       help="inspect a checkpoint dir (config, steps, "
+                            "best metric, param count) — read-only, "
+                            "never touches a device")
+    _add_common(p)
+    p.set_defaults(fn=cmd_describe)
 
     p = sub.add_parser("convert",
                        help="torch state-dict <-> Orbax checkpoint")

@@ -1014,3 +1014,30 @@ def test_convert_safetensors_roundtrip(tmp_path, capsys):
     # exactly one direction still enforced across all four flags
     assert main(["convert", "--to-torch", ckpt, "--to-safetensors", ckpt,
                  "--out", st]) == 2
+
+
+def test_describe_checkpoint(tmp_path, capsys):
+    """`describe` reports a checkpoint dir's embedded config, steps,
+    param count, and best sidecar — read-only (no weights loaded)."""
+    import json
+
+    ckpt = _tiny_ckpt(tmp_path, "c2_gru_4bar")
+    assert main(["describe", "--ckpt-dir", ckpt]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["config"] == "c2_gru_4bar"
+    assert info["model_kind"] == "gru_seq"
+    assert info["steps"] == [1] and info["latest_step"] == 1
+    assert info["params"] > 1000
+    assert info["roll"] == "96x128" and info["window_bars"] == 4
+    assert info["quarantined"] == [] and "best" not in info
+
+    # best sidecar surfaces when present
+    best_dir = tmp_path / "ckpt" / "best"
+    best_dir.mkdir(parents=True, exist_ok=True)
+    (best_dir / "best_metric.json").write_text(
+        json.dumps({"eval_loss": 1.25, "step": 1}))
+    assert main(["describe", "--ckpt-dir", ckpt]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["best"]["eval_loss"] == 1.25
+
+    assert main(["describe", "--ckpt-dir", str(tmp_path / "nope")]) == 2
