@@ -153,8 +153,13 @@ def restore(manager: ocp.CheckpointManager, abstract_state,
         if failed:
             try:
                 manager.reload()   # drop the renamed steps from the
-            except Exception:      # manager's in-memory step list
-                pass
+            except Exception as e:  # manager's in-memory step list
+                import sys
+                print(f"warning: could not refresh the checkpoint "
+                      f"manager's step list after quarantining "
+                      f"{failed} ({type(e).__name__}: {e}); saves at "
+                      f"steps <= {max(failed)} may be refused until "
+                      f"the manager is recreated", file=sys.stderr)
         return restored["state"], cfg
     raise RuntimeError(
         f"all checkpoint steps {steps} failed to restore "

@@ -471,8 +471,9 @@ def cmd_describe(args) -> int:
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree.leaves(shapes))
     quarantined = sorted(
-        os.path.basename(p) for p in glob_mod.glob(
-            os.path.join(args.ckpt_dir, "*.corrupt")))
+        os.path.basename(p)
+        for pat in ("*.corrupt", "*.corrupt.*")  # incl. the .N collision
+        for p in glob_mod.glob(os.path.join(args.ckpt_dir, pat)))  # names
     info = {
         "config": cfg.name,
         "model_kind": cfg.model.kind,
@@ -891,7 +892,8 @@ def _serve_stdin_serial(args, cfg, dispatch, to_host, store,
             break
         line = line.strip()
         if not line:
-            continue
+            _flush()    # a blank line must not strand a ready pipelined
+            continue    # response until more input happens to arrive
         rid = None
         try:
             req = json.loads(line)
@@ -980,7 +982,13 @@ class _CoalescedRunner:
         seeds = [s for s, _ in items] + [0] * pad
         stacks = [np.stack([a[i] for _, a in items]
                            + [self._zero[i]] * pad) for i in range(3)]
-        keys = jax.vmap(jax.random.key)(jnp.asarray(seeds))
+        # key data built host-side: exactly jax.random.key(seed)'s x32
+        # layout ([0, seed mod 2^32]) for ANY Python int — a 64-bit
+        # client seed must neither overflow (jnp.asarray is int32) nor
+        # poison the co-batched requests; parity with the serial path
+        # is asserted (incl. a >2^32 seed) in the equivalence test
+        kd = np.array([[0, s & 0xFFFFFFFF] for s in seeds], np.uint32)
+        keys = jax.random.wrap_key_data(jnp.asarray(kd))
         # pull all width slots and slice on host: pad slots are packed
         # (1 bit/cell, ~100 KB each) so the extra bytes cost less than
         # the extra device dispatch a device-side [:n] slice would add

@@ -77,19 +77,20 @@ def latent_path(key: jax.Array, cfg: Config, batch: int, num_bars: int,
     return z_bars, reset
 
 
-def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
-                     mesh=None):
-    """Jitted end-to-end sweep: (params, key, *cond) → binarized bars.
+def _sweep_body(cfg: Config, model: PianoRollVAE, mesh=None):
+    """The one full-sweep body BOTH generation programs trace (the
+    single-request make_generate_fn and the coalesced serve program) —
+    shared so the PRNG split order, conditioning defaults, and
+    binarization can never drift apart between the two transports
+    (their per-key bit-identity is asserted in tests/test_cli.py).
 
-    Returns fn(params, key, seed_bar=None, chord=None, key_sig=None)
-    → bars [num_samples, num_bars, T, P] uint8 in {0,1} (binary content;
-    uint8 keeps the stacked sweep output and its device→host transfer at
-    1/4 the float32 size — 0.8GB vs 3.2GB for the C5 1024×64-bar sweep).
-
-    With ``mesh`` the sample axis is sharded over 'data' (the C5 1k-sample
-    sweep on a v5e-8 slice); without it the sweep runs single-device.
+    ``seed_bar`` [B,T,P]: a real bar as the first prev-bar conditioning
+    (SURVEY §3.3 'zeros or a real bar'); ``z0`` [B,z] pins the first
+    phrase's latent and ``z_phrase0`` [B,z_phrase] the hier phrase
+    latent — both typically encoded posterior samples from
+    make_encode_fn (continuation from real music rather than the prior).
+    Omitted cond chord/key_sig draw random classes on device.
     """
-    model = model or build_model(cfg)
     g = cfg.gen
     if g.sample_mode not in ("threshold", "bernoulli"):
         raise ValueError(f"unknown GenSpec.sample_mode {g.sample_mode!r}; "
@@ -100,15 +101,8 @@ def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
         from musicvae_tpu.parallel.mesh import DATA_AXIS
         batch_spec = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
-    @jax.jit
-    def generate(params, key, seed_bar=None, chord=None, key_sig=None,
-                 z0=None, z_phrase0=None):
-        """``seed_bar`` [B,T,P]: a real bar as the first prev-bar
-        conditioning (SURVEY §3.3 'zeros or a real bar'); ``z0`` [B,z]
-        pins the first phrase's latent and ``z_phrase0`` [B,z_phrase] the
-        hier phrase latent — both typically encoded posterior samples
-        from make_encode_fn (continuation from real music rather than
-        the prior)."""
+    def sweep(params, key, seed_bar=None, chord=None, key_sig=None,
+              z0=None, z_phrase0=None):
         k_z, k_c, k_k, k_p, k_bin = jax.random.split(key, 5)
         z_bars, reset = latent_path(k_z, cfg, batch, num_bars,
                                     g.interpolate, g.temperature, z0=z0)
@@ -137,7 +131,24 @@ def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
                               method=model.generate)
         return bars
 
-    return generate
+    return sweep
+
+
+def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
+                     mesh=None):
+    """Jitted end-to-end sweep: (params, key, *cond) → binarized bars.
+
+    Returns fn(params, key, seed_bar=None, chord=None, key_sig=None,
+    z0=None, z_phrase0=None) → bars [num_samples, num_bars, T, P] uint8
+    in {0,1} (binary content; uint8 keeps the stacked sweep output and
+    its device→host transfer at 1/4 the float32 size — 0.8GB vs 3.2GB
+    for the C5 1024×64-bar sweep). Argument semantics: _sweep_body.
+
+    With ``mesh`` the sample axis is sharded over 'data' (the C5 1k-sample
+    sweep on a v5e-8 slice); without it the sweep runs single-device.
+    """
+    model = model or build_model(cfg)
+    return jax.jit(_sweep_body(cfg, model, mesh=mesh))
 
 
 def make_coalesced_generate_fn(cfg: Config,
@@ -162,40 +173,23 @@ def make_coalesced_generate_fn(cfg: Config,
     never recompiles mid-service, whatever the request mix.
 
     Slot i's output is the SAME music the single-request program
-    (make_generate_fn) produces for that key: the per-request key splits
-    match generate()'s split(key, 5) exactly, so responses do not depend
-    on how requests happened to batch (asserted exactly in
+    (make_generate_fn) produces for that key: both programs trace the
+    ONE _sweep_body, so the key splits and semantics cannot drift
+    (asserted bit-exactly in
     tests/test_cli.py::test_coalesced_generate_matches_single). The
     caller pads short batches to a fixed W (jit specializes on W) and
     discards pad slots.
     """
     model = model or build_model(cfg)
-    g = cfg.gen
-    if g.sample_mode not in ("threshold", "bernoulli"):
-        raise ValueError(f"unknown GenSpec.sample_mode {g.sample_mode!r}; "
-                         "expected 'threshold' or 'bernoulli'")
-    batch, num_bars = g.num_samples, g.num_bars
+    sweep = _sweep_body(cfg, model)
 
     def one(params, key, seed_bar, chord, key_sig):
-        # split order matches make_generate_fn.generate so slot outputs
-        # are bit-identical to the single-request program per key
-        k_z, _k_c, _k_k, k_p, k_bin = jax.random.split(key, 5)
-        z_bars, reset = latent_path(k_z, cfg, batch, num_bars,
-                                    g.interpolate, g.temperature)
-        kw: Dict = {}
-        if cfg.model.kind == "cond":
-            kw = {"chord": chord, "key_sig": key_sig}
-        z_phrase = None
-        if cfg.model.kind == "hier":
-            z_phrase = jax.random.normal(
-                k_p, (batch, cfg.model.z_phrase_dim)) * g.temperature
-        if g.sample_mode == "bernoulli":
-            kw["bin_keys"] = jax.random.split(k_bin, num_bars)
-            kw["sample_temperature"] = g.sample_temperature
-        _, bars = model.apply({"params": params}, z_bars, reset,
-                              seed_bar, **kw, z_phrase=z_phrase,
-                              method=model.generate)
-        return bars
+        # the uniform concrete signature: for non-cond kinds the
+        # chord/key_sig slots are traced but unused (model.generate
+        # ignores them), matching the single path's None
+        if cfg.model.kind != "cond":
+            chord = key_sig = None
+        return sweep(params, key, seed_bar, chord, key_sig)
 
     batched = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))
 

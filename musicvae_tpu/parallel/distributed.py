@@ -77,8 +77,11 @@ def initialize_from_env(coordinator: Optional[str] = None,
     return False
 
 
-def assert_hosts_identical(what: str, *chunks: bytes) -> None:
+def assert_hosts_identical(what: str, *chunks) -> None:
     """Fail fast if any process's ``chunks`` differ from the others'.
+    Chunks are anything hashlib accepts (bytes or buffer-protocol
+    objects — pass C-contiguous ndarrays directly; .tobytes() would
+    copy a corpus that can be HBM-sized).
 
     The multi-host data path's correctness rests on an UNCHECKED contract:
     every process computes the identical host-side value before

@@ -490,9 +490,17 @@ def train(cfg: Config,
             # otherwise train on divergent shards with no error
             from musicvae_tpu.parallel.distributed import \
                 assert_hosts_identical
+            # contiguous ndarrays feed hashlib via the buffer protocol —
+            # no .tobytes() copy of a corpus that can be HBM-sized; and
+            # the hash covers the LABELS too (a cond model trained on
+            # divergent chord/key sidecars is the same silent-divergence
+            # failure as divergent bars)
             assert_hosts_identical(
                 "resident corpus",
-                data.bars.tobytes(), data.starts.tobytes(),
+                np.ascontiguousarray(data.bars),
+                np.ascontiguousarray(data.starts),
+                np.ascontiguousarray(data.chords),
+                np.ascontiguousarray(data.keys),
                 np.int64(cfg.train.seed).tobytes())
     else:
         # STREAMING path (corpora larger than HBM): K-step scan over

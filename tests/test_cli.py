@@ -565,6 +565,10 @@ def test_serve_stdin_coalesce_matches_serial(tmp_path, capsys, monkeypatch):
         "not json",
         json.dumps({"id": 3, "seed": 7}),       # same seed as id 1
         json.dumps({"id": 4, "seed": 9, "seed_midi_b64": seed_b64}),
+        # a 64-bit seed must not overflow the coalesced key build (nor
+        # poison its co-batched requests); jax.random.key is mod-2^32
+        # under x32, so it must answer exactly like seed 7
+        json.dumps({"id": 5, "seed": 2**32 + 7}),
     ]) + "\n"
 
     outs = {}
@@ -578,9 +582,10 @@ def test_serve_stdin_coalesce_matches_serial(tmp_path, capsys, monkeypatch):
                    capsys.readouterr().out.strip().splitlines()]
 
     for lines in outs.values():
-        assert [l.get("id") for l in lines] == [1, 2, None, 3, 4]
+        assert [l.get("id") for l in lines] == [1, 2, None, 3, 4, 5]
         assert "error" in lines[2]
         assert lines[0]["midi_b64"] == lines[3]["midi_b64"]  # same seed
+        assert lines[5]["midi_b64"] == lines[0]["midi_b64"]  # mod-2^32
     for a, b in zip(outs["1"], outs["3"]):
         assert a.get("midi_b64") == b.get("midi_b64")  # batching-invariant
 

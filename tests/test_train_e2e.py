@@ -237,11 +237,11 @@ def test_cond_generation_keys_independent_of_chords():
     # regression for key reuse: chord and key draws came from one key and
     # key_sig equalled chord.ravel()[:batch]; recompute the draws EXACTLY
     # the way generate does (same split arity — keep in sync with
-    # sampler.make_generate_fn) and assert they differ
+    # sampler._sweep_body, the shared body both generation programs trace)
     import inspect
 
     from musicvae_tpu.generate import sampler as sampler_mod
-    src = inspect.getsource(sampler_mod.make_generate_fn)
+    src = inspect.getsource(sampler_mod._sweep_body)
     assert "jax.random.split(key, 5)" in src, (
         "generate's key split changed; update this test's derivation")
     k_z, k_c, k_k, k_p, k_bin = jax.random.split(jax.random.key(42), 5)
