@@ -42,16 +42,21 @@ def run_load(port: int, clients: int, requests: int):
     lock = threading.Lock()
 
     def one_client(ci: int):
-        with ServeClient(port=port) as c:
-            for i in range(requests):
-                try:
-                    resp = c.request({"id": ci * 10000 + i,
-                                      "seed": ci * 10000 + i})
-                    with lock:
-                        lat.append(resp["latency_ms"])
-                except ServeError as e:
-                    with lock:
-                        errors.append(str(e))
+        try:
+            with ServeClient(port=port) as c:
+                for i in range(requests):
+                    try:
+                        resp = c.request({"id": ci * 10000 + i,
+                                          "seed": ci * 10000 + i})
+                        with lock:
+                            lat.append(resp["latency_ms"])
+                    except ServeError as e:   # per-request, keep going
+                        with lock:
+                            errors.append(str(e))
+        except Exception as e:  # connection lost / service died: record
+            with lock:          # it instead of dying silently with the
+                errors.append(  # remaining requests uncounted
+                    f"client {ci}: {type(e).__name__}: {e}")
 
     t0 = time.perf_counter()
     threads = [threading.Thread(target=one_client, args=(ci,))
@@ -62,12 +67,18 @@ def run_load(port: int, clients: int, requests: int):
         t.join()
     wall = time.perf_counter() - t0
     lat.sort()
+
+    def rank(q):  # nearest-rank quantile: ceil(q*n)-1, never past p100
+        import math
+        return lat[max(0, math.ceil(q * len(lat)) - 1)] if lat else None
+
     return {
         "clients": clients, "requests": len(lat), "errors": len(errors),
+        "error_samples": errors[:3],
         "wall_s": round(wall, 2),
         "req_per_s": round(len(lat) / wall, 1) if wall > 0 else None,
-        "p50_ms": lat[len(lat) // 2] if lat else None,
-        "p90_ms": lat[int(len(lat) * 0.9)] if lat else None,
+        "p50_ms": rank(0.5),
+        "p90_ms": rank(0.9),
     }
 
 
@@ -130,8 +141,13 @@ def main() -> int:
     result = run_load(port, args.clients, args.requests)
     result["coalesce"] = args.coalesce
     if proc is not None:
-        rc = proc.wait(timeout=600)
-        result["service_rc"] = rc
+        try:
+            result["service_rc"] = proc.wait(timeout=120)
+        except subprocess.TimeoutExpired:
+            # the service only exits via --max-requests; if requests were
+            # lost to errors it would wait forever — report, don't hang
+            proc.kill()
+            result["service_rc"] = "killed (did not exit; see errors)"
     print(json.dumps(result))
     return 0
 

@@ -450,6 +450,16 @@ def cmd_describe(args) -> int:
     import glob as glob_mod
     import json
 
+    # pin the CPU backend BEFORE anything touches jax: make_manager's
+    # first jax call would otherwise initialize the ambient TPU backend
+    # — connecting to (and, with the tunnel down, hanging on) the very
+    # device this command promises never to touch
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass    # backend already initialized (in-process caller)
+
     from musicvae_tpu import checkpoints
     from musicvae_tpu.models import init_params
 
@@ -459,13 +469,7 @@ def cmd_describe(args) -> int:
         print(f"error: no checkpoint in {args.ckpt_dir}", file=sys.stderr)
         return 2
     cfg = checkpoints.restore_config(manager)
-    # param count from shapes only (eval_shape — no FLOPs; forced onto
-    # the CPU backend so describe never touches, or waits on, a TPU)
-    import jax
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:
-        pass
+    # param count from shapes only (eval_shape — no FLOPs, no weights)
     shapes = jax.eval_shape(lambda k: init_params(cfg, k)[1],
                             jax.random.key(0))
     n_params = sum(int(np.prod(l.shape))
@@ -672,6 +676,18 @@ def cmd_serve(args) -> int:
     from musicvae_tpu.generate import make_generate_fn
     from musicvae_tpu.train import create_state
 
+    # flag validation FIRST: a bad invocation must not pay the full
+    # checkpoint restore + device upload (minutes on remote-TPU setups)
+    # before hearing about it
+    if args.coalesce < 1:
+        print("error: --coalesce must be >= 1", file=sys.stderr)
+        return 2
+    if args.coalesce > 1 and args.pipeline:
+        print("error: --pipeline and --coalesce are mutually exclusive "
+              "(coalescing already overlaps host encode with the next "
+              "batch's device sweep)", file=sys.stderr)
+        return 2
+
     gen_spec = GenSpec(num_bars=args.bars, num_samples=args.samples,
                        interpolate=args.interpolate,
                        sample_mode=args.sample_mode,
@@ -761,15 +777,6 @@ def cmd_serve(args) -> int:
         ks = np.asarray(kw.get("key_sig",
                                np.zeros((b,), np.int32)), np.int32)
         return sb, ch, ks
-
-    if args.coalesce < 1:
-        print("error: --coalesce must be >= 1", file=sys.stderr)
-        return 2
-    if args.coalesce > 1 and args.pipeline:
-        print("error: --pipeline and --coalesce are mutually exclusive "
-              "(coalescing already overlaps host encode with the next "
-              "batch's device sweep)", file=sys.stderr)
-        return 2
 
     t0 = time.perf_counter()
     if args.coalesce > 1:
@@ -1012,20 +1019,33 @@ class _Batcher:
         self.runner = runner
         self.q: "queue_mod.Queue" = queue_mod.Queue()
         self._empty = queue_mod.Empty
+        self._lock = threading.Lock()
+        self._stopped = False
         threading.Thread(target=self._loop, daemon=True).start()
 
     def submit(self, seed: int, arrays):
         import concurrent.futures
 
         fut: "concurrent.futures.Future" = concurrent.futures.Future()
-        self.q.put((seed, arrays, fut))
+        # the lock orders submit against stop(): any item enqueued here
+        # is FIFO-ahead of the stop sentinel, so no submission can land
+        # behind it and leave its handler blocked on the Future forever
+        with self._lock:
+            if self._stopped:
+                fut.set_exception(ConnectionError(
+                    "service is shutting down"))
+                return fut
+            self.q.put((seed, arrays, fut))
         return fut
 
     def stop(self) -> None:
         """End the dispatcher thread once the server is done (in-process
         callers like the test suite would otherwise accumulate one
-        parked daemon thread per service)."""
-        self.q.put(None)
+        parked daemon thread per service). Late submissions fail fast
+        with ConnectionError instead of hanging."""
+        with self._lock:
+            self._stopped = True
+            self.q.put(None)
 
     def _loop(self) -> None:
         while True:
@@ -1105,7 +1125,11 @@ def _serve_stdin_coalesced(args, cfg, runner, request_arrays,
                 req = json.loads(line)
                 rid = req.get("id")
                 if req.get("cmd") in ("stats", "reload"):
-                    entries.append((rid, req["cmd"], None))
+                    # snapshot the parse-time request counter: later
+                    # lines in the SAME drain window are parsed before
+                    # this entry is answered, and stats must report the
+                    # requests seen BEFORE it (the serial semantics)
+                    entries.append((rid, req["cmd"], n_requests))
                     continue
                 seed = int(req.get("seed", n_requests))
                 n_requests += 1
@@ -1154,7 +1178,7 @@ def _serve_stdin_coalesced(args, cfg, runner, request_arrays,
                 if seed == "stats":
                     print(json.dumps(_stats_response(
                         rid, cfg, runner.store, served, errors,
-                        n_requests, t_start)), flush=True)
+                        payload, t_start)), flush=True)
                 elif seed is None:
                     errors += 1
                     print(json.dumps({"id": rid, "error": payload}),
