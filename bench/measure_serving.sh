@@ -3,7 +3,7 @@
 # the axon tunnel is back (it went down ~20:45 on 2026-08-17 mid-compile
 # of the first coalesced program and stayed down; docs/STATUS.md).
 # Single-tenant chip: run ALONE. Usage:
-#   bash logs/r3/measure_serving.sh <ckpt_dir> [out_dir]
+#   bash bench/measure_serving.sh <ckpt_dir> [out_dir]
 # <ckpt_dir>: any trained C2 checkpoint (e.g. the verify run's).
 set -ex
 CKPT=${1:?usage: measure_serving.sh <ckpt_dir> [out_dir]}

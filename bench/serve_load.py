@@ -73,7 +73,10 @@ def run_load(port: int, clients: int, requests: int):
         return lat[max(0, math.ceil(q * len(lat)) - 1)] if lat else None
 
     return {
-        "clients": clients, "requests": len(lat), "errors": len(errors),
+        # requests = everything answered (ok + errors); throughput and
+        # latency percentiles cover SUCCESSFUL responses only
+        "clients": clients, "requests": len(lat) + len(errors),
+        "ok": len(lat), "errors": len(errors),
         "error_samples": errors[:3],
         "wall_s": round(wall, 2),
         "req_per_s": round(len(lat) / wall, 1) if wall > 0 else None,

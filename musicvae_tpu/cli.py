@@ -463,6 +463,12 @@ def cmd_describe(args) -> int:
     from musicvae_tpu import checkpoints
     from musicvae_tpu.models import init_params
 
+    # inspect-only means CREATE nothing: make_manager would makedirs the
+    # path (littering the filesystem on a typo'd --ckpt-dir, or dying on
+    # a read-only mount) — refuse missing directories up front instead
+    if not os.path.isdir(args.ckpt_dir):
+        print(f"error: no checkpoint in {args.ckpt_dir}", file=sys.stderr)
+        return 2
     manager = checkpoints.make_manager(args.ckpt_dir)
     steps = sorted(manager.all_steps())
     if not steps:
@@ -783,7 +789,7 @@ def cmd_serve(args) -> int:
         # ONE uniform trace (keys, seed_bars, chords, key_sigs — all
         # concrete) serves every request mix; nothing else to warm
         from musicvae_tpu.generate import make_coalesced_generate_fn
-        coal = make_coalesced_generate_fn(cfg, model)
+        coal = make_coalesced_generate_fn(cfg, model, mesh=mesh)
         runner = _CoalescedRunner(coal, store, cfg, args.coalesce)
         runner.warm()
         dispatch = to_host = None
@@ -878,13 +884,7 @@ def _serve_stdin_serial(args, cfg, dispatch, to_host, store,
             return
         rid, dev, t_req = pending.pop()
         try:
-            bars = to_host(dev)
-            midis = [base64.b64encode(bars_to_midi(bars[i], cfg)).decode()
-                     for i in range(bars.shape[0])]
-            print(json.dumps({"id": rid, "midi_b64": midis,
-                              "density": float(bars.mean()),
-                              "latency_ms": round(
-                                  1e3 * (time.perf_counter() - t_req), 1)}),
+            print(json.dumps(_gen_response(rid, to_host(dev), cfg, t_req)),
                   flush=True)
             served += 1
         except Exception as e:
@@ -905,6 +905,7 @@ def _serve_stdin_serial(args, cfg, dispatch, to_host, store,
         try:
             req = json.loads(line)
             rid = req.get("id")
+            _check_cmd(req)
             if req.get("cmd") == "stats":
                 _flush()                    # responses keep request order
                 print(json.dumps(_stats_response(
@@ -938,6 +939,34 @@ def _serve_stdin_serial(args, cfg, dispatch, to_host, store,
     print(f"served {served} requests, {errors} errors in {dt:.1f}s{rate}",
           file=sys.stderr)
     return 0
+
+
+def _gen_response(rid, bars, cfg, t_req: float) -> dict:
+    """The ONE generation-response schema every transport emits: base64
+    SMF per sample, density, and latency_ms measured from the caller's
+    ``t_req`` (per-request dispatch time on the serial paths; the drain
+    window's start on the coalesced stdin path — queue wait included
+    either way). A schema change edits exactly this function."""
+    import base64
+    import time
+
+    from musicvae_tpu.generate import bars_to_midi
+
+    midis = [base64.b64encode(bars_to_midi(bars[i], cfg)).decode()
+             for i in range(bars.shape[0])]
+    return {"id": rid, "midi_b64": midis,
+            "density": float(bars.mean()),
+            "latency_ms": round(1e3 * (time.perf_counter() - t_req), 1)}
+
+
+def _check_cmd(req) -> None:
+    """Reject unknown ``cmd`` values in-band: a typo'd or newer-client
+    command must not silently fall through to the generation path and
+    burn a device sweep answering MIDI where stats were expected."""
+    cmd = req.get("cmd")
+    if cmd is not None and cmd not in ("stats", "reload"):
+        raise ValueError(f"unknown cmd {cmd!r} (expected 'stats' or "
+                         f"'reload')")
 
 
 def _stats_response(rid, cfg, store, served: int, errors: int,
@@ -1124,6 +1153,7 @@ def _serve_stdin_coalesced(args, cfg, runner, request_arrays,
             try:
                 req = json.loads(line)
                 rid = req.get("id")
+                _check_cmd(req)
                 if req.get("cmd") in ("stats", "reload"):
                     # snapshot the parse-time request counter: later
                     # lines in the SAME drain window are parsed before
@@ -1188,16 +1218,8 @@ def _serve_stdin_coalesced(args, cfg, runner, request_arrays,
                     print(json.dumps({"id": rid, "error": run_err}),
                           flush=True)
                 else:
-                    bars = next(results)
-                    midis = [base64.b64encode(
-                                 bars_to_midi(bars[i], cfg)).decode()
-                             for i in range(bars.shape[0])]
-                    print(json.dumps(
-                        {"id": rid, "midi_b64": midis,
-                         "density": float(bars.mean()),
-                         "latency_ms": round(
-                             1e3 * (time.perf_counter() - t_req), 1)}),
-                        flush=True)
+                    print(json.dumps(_gen_response(
+                        rid, next(results), cfg, t_req)), flush=True)
                     served += 1
     dt = (time.perf_counter() - t_serve0) if t_serve0 is not None else 0.0
     rate = f" ({served / dt:.1f} req/s)" if served and dt > 0 else ""
@@ -1228,6 +1250,11 @@ def _make_reload_once(manager, template_state, mesh, store):
     from musicvae_tpu.parallel import replicated
 
     lock = threading.Lock()
+    # an ABSTRACT template (shapes/dtypes only): restore() accepts one,
+    # and it keeps the watcher from pinning a second concrete copy of
+    # params + optimizer moments in memory for the service's lifetime
+    template = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template_state)
 
     def reload_once():
         with lock:
@@ -1235,7 +1262,7 @@ def _make_reload_once(manager, template_state, mesh, store):
             latest = manager.latest_step()
             if latest is None or latest <= store["step"]:
                 return None
-            new_state, _ = checkpoints.restore(manager, template_state,
+            new_state, _ = checkpoints.restore(manager, template,
                                                step=latest)  # strict
             store["params"] = jax.device_put(new_state.params,
                                              replicated(mesh))
@@ -1321,7 +1348,8 @@ def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
                 try:
                     req = json.loads(line)
                     rid = req.get("id")
-                    if req.get("cmd") in ("stats", "reload"):
+                    _check_cmd(req)     # unknown cmd: in-band error, not
+                    if req.get("cmd") in ("stats", "reload"):  # a sweep
                         if req["cmd"] == "stats":
                             with state_lock:
                                 resp = _stats_response(
@@ -1357,13 +1385,7 @@ def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
                                          jax.random.key(seed), **kw))
                     # encode outside the lock: overlaps other clients'
                     # device sweeps (see docstring)
-                    midis = [base64.b64encode(
-                                 bars_to_midi(bars[i], cfg)).decode()
-                             for i in range(bars.shape[0])]
-                    resp = {"id": rid, "midi_b64": midis,
-                            "density": float(bars.mean()),
-                            "latency_ms": round(
-                                1e3 * (time.perf_counter() - t_req), 1)}
+                    resp = _gen_response(rid, bars, cfg, t_req)
                     with state_lock:
                         counts["served"] += 1
                 except Exception as e:       # in-band, per-request errors
@@ -1371,11 +1393,17 @@ def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
                             "error": f"{type(e).__name__}: {e}"}
                     with state_lock:
                         counts["errors"] += 1
+                write_failed = False
                 try:
                     self.wfile.write((json.dumps(resp) + "\n").encode())
                     self.wfile.flush()
                 except (BrokenPipeError, ConnectionResetError):
-                    return                   # client went away mid-reply
+                    write_failed = True      # client went away mid-reply
+                # the shutdown check runs even when the reply could not
+                # be written: the request WAS served/counted, and a
+                # --max-requests service whose last client vanished
+                # mid-reply must still exit (the load harness bounds its
+                # wait on exactly this)
                 if args.max_requests:
                     with state_lock:
                         done = (counts["served"] + counts["errors"]
@@ -1384,6 +1412,8 @@ def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
                         threading.Thread(target=server.shutdown,
                                          daemon=True).start()
                         return
+                if write_failed:
+                    return
 
     class Server(socketserver.ThreadingTCPServer):
         allow_reuse_address = True

@@ -153,7 +153,7 @@ def make_generate_fn(cfg: Config, model: Optional[PianoRollVAE] = None,
 
 def make_coalesced_generate_fn(cfg: Config,
                                model: Optional[PianoRollVAE] = None,
-                               pack: bool = True):
+                               pack: bool = True, mesh=None):
     """Dynamic-batching program for ``serve``: W independent requests —
     each with its OWN PRNG key, seed bar, and conditioning — generated in
     ONE device dispatch. On remote-TPU setups every dispatch pays a fixed
@@ -192,10 +192,20 @@ def make_coalesced_generate_fn(cfg: Config,
         return sweep(params, key, seed_bar, chord, key_sig)
 
     batched = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))
+    if mesh is not None:
+        # mirror the serial program's sharding (samples over 'data'),
+        # applied OUTSIDE the vmap on the stacked [W,B,...] output —
+        # GSPMD propagates it back through the whole batched sweep, so
+        # coalescing keeps the multi-device scaling the serial path has
+        from jax.sharding import NamedSharding, PartitionSpec
+        from musicvae_tpu.parallel.mesh import DATA_AXIS
+        out_spec = NamedSharding(mesh, PartitionSpec(None, DATA_AXIS))
 
     @jax.jit
     def coalesced(params, keys, seed_bars, chords, key_sigs):
         bars = batched(params, keys, seed_bars, chords, key_sigs)
+        if mesh is not None:
+            bars = jax.lax.with_sharding_constraint(bars, out_spec)
         if pack:
             from musicvae_tpu.ops.pack import pack_bits
             bars = pack_bits(bars)

@@ -1046,3 +1046,63 @@ def test_describe_checkpoint(tmp_path, capsys):
     assert info["best"]["eval_loss"] == 1.25
 
     assert main(["describe", "--ckpt-dir", str(tmp_path / "nope")]) == 2
+
+
+def test_coalesced_generate_mesh_sharded_matches_unsharded():
+    """make_coalesced_generate_fn(mesh=...) keeps the serial program's
+    sample-axis sharding (GSPMD propagates the output constraint through
+    the batched sweep) without changing a single bit of output."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from musicvae_tpu.config import get_config
+    from musicvae_tpu.generate import make_coalesced_generate_fn
+    from musicvae_tpu.models.vae import init_params
+    from musicvae_tpu.parallel import make_mesh
+
+    cfg = get_config("c1_conv_bar")
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, enc_channels=(4, 8, 8, 8, 8),
+            dec_channels=(8, 8, 8, 8, 8), z_dim=8, gru_hidden=16,
+            bar_feat_dim=16, dtype="float32"),
+        gen=dataclasses.replace(cfg.gen, num_samples=4, num_bars=2),
+        mesh=dataclasses.replace(cfg.mesh, data=4))
+    model, params = init_params(cfg, jax.random.key(0))
+    mesh = make_mesh(cfg.mesh)
+
+    W, B = 2, cfg.gen.num_samples
+    T, P = cfg.midi.steps_per_bar, cfg.midi.num_pitches
+    keys = jax.vmap(jax.random.key)(jnp.arange(W))
+    sb = np.zeros((W, B, T, P), np.uint8)
+    ch = np.zeros((W, B, cfg.gen.num_bars), np.int32)
+    ks = np.zeros((W, B), np.int32)
+
+    plain = np.asarray(
+        make_coalesced_generate_fn(cfg, model)(params, keys, sb, ch, ks))
+    sharded_fn = make_coalesced_generate_fn(cfg, model, mesh=mesh)
+    out = sharded_fn(params, keys, sb, ch, ks)
+    np.testing.assert_array_equal(np.asarray(out), plain)
+
+
+def test_serve_unknown_cmd_in_band_error(tmp_path, capsys, monkeypatch):
+    """A typo'd/unknown cmd is an in-band error on both stdin dispatch
+    modes — it must not fall through and burn a generation sweep."""
+    import io
+    import json
+
+    ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+    requests = json.dumps({"id": 1, "cmd": "stat"}) + "\n" \
+        + json.dumps({"id": 2, "seed": 3}) + "\n"
+    for extra in ([], ["--coalesce", "2"]):
+        capsys.readouterr()
+        monkeypatch.setattr("sys.stdin", io.StringIO(requests))
+        assert main(["serve", "--config", "c1_conv_bar", "--ckpt-dir",
+                     ckpt, "--bars", "2", "--samples", "1"] + extra) == 0
+        lines = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()]
+        assert [l["id"] for l in lines] == [1, 2], extra
+        assert "unknown cmd 'stat'" in lines[0]["error"], extra
+        assert lines[1]["midi_b64"]
