@@ -88,6 +88,7 @@ def cmd_train(args) -> int:
         ("eval_batches", args.eval_batches),
         ("holdout_frac", args.holdout_frac),
         ("transpose_aug", args.transpose_aug),
+        ("corpus_layout", args.corpus_layout),
     ) if v is not None}
     if overrides:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
@@ -136,9 +137,35 @@ def cmd_train(args) -> int:
               file=sys.stderr)
     print(f"dataset: {len(ds)} windows; devices: {jax.devices()}",
           file=sys.stderr)
+    data = ds
+    if args.host_sharded:
+        # per-host sharded loading: this process keeps only its shard and
+        # streams its rows of the global batch (trainer assembles them via
+        # put_host_local). Eval would need every host to hold the same
+        # holdout — exactly the full-corpus contract this mode removes.
+        if cfg.train.eval_every > 0:
+            print("error: --host-sharded is a streaming mode without "
+                  "in-training eval (hosts hold disjoint corpus shards; "
+                  "the replicated eval sweep needs identical host data). "
+                  "Set --eval-every 0.", file=sys.stderr)
+            return 2
+        from musicvae_tpu.data import HostLocalBatches
+        pc = jax.process_count()
+        if cfg.train.batch_size % pc:
+            print(f"error: batch_size {cfg.train.batch_size} not divisible "
+                  f"by {pc} processes", file=sys.stderr)
+            return 2
+        shard = ds.host_shard(jax.process_index(), pc, seed=cfg.train.seed)
+        print(f"host shard {jax.process_index()}/{pc}: {len(shard)} windows"
+              f" ({shard.bars.shape[0]} bars resident on this host)",
+              file=sys.stderr)
+        data = HostLocalBatches(shard.iterator(cfg.train.batch_size // pc,
+                                               seed=cfg.train.seed))
+    elif args.stream:
+        data = ds.iterator(cfg.train.batch_size, seed=cfg.train.seed)
     _, state, metrics = train(
-        cfg, ds, mesh=mesh, ckpt_manager=manager, log_fn=logger, state=state,
-        eval_data=eval_ds, best_ckpt_manager=best_manager)
+        cfg, data, mesh=mesh, ckpt_manager=manager, log_fn=logger,
+        state=state, eval_data=eval_ds, best_ckpt_manager=best_manager)
     if best_manager is not None:
         best_manager.wait_until_finished()
     checkpoints.save(manager, state, cfg, wait=True)
@@ -1477,6 +1504,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "per-example shift in [-K, +K] semitones per "
                         "step; cond models rotate chord/key labels with "
                         "the shift (0 = off)")
+    p.add_argument("--corpus-layout", choices=["replicated", "sharded"],
+                   default=None,
+                   help="resident bar-cache layout: replicate into every "
+                        "device's HBM (default) or shard piece-wise over "
+                        "the 'data' mesh axis (1/D HBM per device; local "
+                        "shard_map gathers — train/sharded_corpus.py)")
+    p.add_argument("--stream", action="store_true",
+                   help="stream host batches instead of the device-"
+                        "resident cache (corpora larger than HBM; "
+                        "bit-packed double-buffered producer)")
+    p.add_argument("--host-sharded", action="store_true",
+                   help="multi-host: each process loads only its "
+                        "PianoRollDataset.host_shard of the corpus and "
+                        "streams its rows of the global batch (implies "
+                        "--stream; no in-training eval)")
     p.add_argument("--holdout-frac", type=float, default=None,
                    help="fraction of pieces held out for eval "
                         "(config default 0.1)")

@@ -101,6 +101,13 @@ class TrainSpec:
     # step; cond models rotate chord/key labels with the shift. 0 = off
     # (reference behavior).
     transpose_aug: int = 0
+    # resident-corpus device layout: "replicated" uploads the uint8 bar
+    # cache to every device (corpora ≪ HBM, the default); "sharded"
+    # partitions it piece-wise over the 'data' mesh axis — each device
+    # holds 1/D of the corpus and gathers batch rows from its LOCAL shard
+    # via shard_map (train/sharded_corpus.py), extending fully-resident
+    # training to corpora up to D× one device's HBM.
+    corpus_layout: str = "replicated"
     remat_encoder: bool = False          # jax.checkpoint on per-bar encoder
     # Pallas loss kernel in the TRAIN step. Default off: the custom VJP is
     # a fusion barrier and XLA's fused autodiff wins end-to-end (see

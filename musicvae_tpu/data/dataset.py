@@ -26,6 +26,31 @@ from musicvae_tpu.config import MidiSpec
 from musicvae_tpu.midi import tensorize
 
 
+class HostLocalBatches:
+    """Marks a streaming iterator as yielding PER-PROCESS LOCAL batch
+    slices: each of the P processes feeds train() an iterator whose
+    batches hold only its own [global_batch / P] rows (typically windows
+    of its PianoRollDataset.host_shard). The trainer then places stacks
+    via parallel/mesh.put_host_local — no host ever materializes the
+    global batch, which is what makes per-host sharded data loading real
+    (vs the default contract where every host computes the identical
+    global value).
+
+    The global batch is the process-order concatenation of the local
+    slices (process p's devices own rows [p*B/P, (p+1)*B/P) of the
+    ('data',)-sharded batch axis).
+    """
+
+    def __init__(self, it: Iterator):
+        self._it = iter(it)
+
+    def __iter__(self) -> Iterator:
+        return self._it
+
+    def __next__(self):
+        return next(self._it)
+
+
 class PianoRollDataset:
     def __init__(self, bars: np.ndarray, starts: np.ndarray, num_bars: int,
                  chords: np.ndarray, keys: np.ndarray,
@@ -145,6 +170,62 @@ class PianoRollDataset:
                                     self.keys[mask], self.piece_ids[mask])
 
         return _sub(~eval_mask), _sub(eval_mask)
+
+    def host_shard(self, process_index: int, process_count: int,
+                   seed: int = 0) -> "PianoRollDataset":
+        """Deterministic per-process corpus shard for multi-host data
+        loading (SURVEY §2.2 comm-backend row; closes the round-2 caveat
+        that every host must hold the FULL corpus).
+
+        Pieces are dealt round-robin over a seeded permutation (balances
+        piece-length skew in expectation) and the shard keeps ONLY its own
+        pieces' bars — host RAM per process is ~corpus/process_count, and
+        the returned dataset is self-contained (remapped window starts),
+        so ``batch()``/``iterator()`` work unchanged. Partition properties
+        (disjoint, covering, piece-aware) are tested in
+        tests/test_dataset.py.
+
+        Sampling semantics: a host trains on windows of its own shard only
+        (the standard data-parallel sharded-loader contract, e.g. torch's
+        DistributedSampler); the global batch is the concatenation of the
+        per-shard batches. parallel/mesh.put_host_local uploads the local
+        slice; train() accepts the per-host iterators via
+        data.HostLocalBatches.
+        """
+        if not 0 <= process_index < process_count:
+            raise ValueError(f"process_index {process_index} not in "
+                             f"[0, {process_count})")
+        pieces = np.unique(self.piece_ids)
+        if process_count > pieces.shape[0]:
+            raise ValueError(
+                f"cannot shard {pieces.shape[0]} pieces over "
+                f"{process_count} processes (each process needs >= 1 "
+                f"piece; legacy caches without piece ids are one piece)")
+        perm = np.random.default_rng((seed, 71)).permutation(pieces)
+        mine = perm[process_index::process_count]
+        win_mask = np.isin(self.piece_ids, mine)
+        if not win_mask.any():
+            raise ValueError(
+                f"shard {process_index}/{process_count} got no windows "
+                "(pieces shorter than num_bars contribute none)")
+        # compact the bar array to this shard's pieces and remap starts:
+        # window w covers bars [starts[w], starts[w]+num_bars) and never
+        # crosses a piece boundary (from_corpus), so keeping whole pieces
+        # keeps every kept window intact
+        # (windows tile every in-piece offset, so the union of kept
+        # windows' spans IS the kept pieces' full bar range; interval
+        # marking via a +1/-1 diff array keeps this O(T) vectorized)
+        kept_starts = self.starts[win_mask]
+        diff = np.zeros(self.bars.shape[0] + 1, np.int64)
+        np.add.at(diff, kept_starts, 1)
+        np.add.at(diff, kept_starts + self.num_bars, -1)
+        keep_bars = np.cumsum(diff[:-1]) > 0
+        new_index = np.cumsum(keep_bars) - 1
+        return PianoRollDataset(
+            np.ascontiguousarray(self.bars[keep_bars]),
+            new_index[self.starts[win_mask]].astype(np.int32),
+            self.num_bars, self.chords[win_mask], self.keys[win_mask],
+            self.piece_ids[win_mask])
 
     # -- serving -------------------------------------------------------------
 

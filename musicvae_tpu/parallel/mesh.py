@@ -78,6 +78,29 @@ def put_global(x, sharding: NamedSharding):
                                                     list(shards))
 
 
+def put_host_local(tree, sharding: NamedSharding):
+    """Per-process LOCAL shard pytree → global jax.Array pytree.
+
+    The dual of put_global's replicated-host-data contract: here each
+    process holds ONLY the rows its own devices own along the sharded
+    axis (data.HostLocalBatches — per-host sharded data loading), and the
+    global array is assembled from the process-local pieces
+    (jax.make_array_from_process_local_data). Process p's slice covers
+    rows [p*B/P, (p+1)*B/P) of the sharded axis — the mesh lays device
+    order out process-contiguously (make_mesh uses jax.devices(), which
+    sorts by process), and the 2-process equivalence test
+    (tests/test_multiprocess.py, mode='host_sharded') pins the mapping
+    against a single-process run.
+
+    Single-process it degenerates to a plain sharded device_put.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
+
+
 def put_tree(tree, sharding: NamedSharding):
     """put_global over a pytree (single sharding for every leaf).
 

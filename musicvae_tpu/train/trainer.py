@@ -251,16 +251,22 @@ def _make_window_gather(cfg: Config) -> Callable:
 
 
 def make_train_step_indexed_multi(cfg: Config, model, k: int, opt=None,
-                                  use_pallas: Optional[bool] = None
+                                  use_pallas: Optional[bool] = None,
+                                  gather: Optional[Callable] = None
                                   ) -> Callable:
     """K device-resident indexed steps per dispatch: (state, data,
     idxs[K,B]) → (state, last-step metrics). One host→device round trip
     per K steps — the production training mode (host-link latency and
     jitter amortize away; the scan body is exactly the single-step update,
-    equivalence tested in tests/test_train_e2e.py)."""
+    equivalence tested in tests/test_train_e2e.py).
+
+    ``gather`` overrides the (data, idx) → batch gather — used by the
+    sharded-corpus layout's shard_map local gather
+    (train/sharded_corpus.make_sharded_gather); default is the replicated
+    window gather."""
     opt = opt or make_optimizer(cfg)
     single = _train_step_body(cfg, model, opt, use_pallas)
-    gather = _make_window_gather(cfg)
+    gather = gather or _make_window_gather(cfg)
 
     def multi(state: TrainState, data, idxs):
         def body(carry, idx):
@@ -365,7 +371,11 @@ def train(cfg: Config,
     """Host-side loop. ``data`` is either a PianoRollDataset (preferred:
     uploaded to HBM once, batches gathered on-device by index — see
     make_train_step_indexed) or an iterator of host batches (streaming
-    fallback for corpora that don't fit in HBM).
+    fallback for corpora that don't fit in HBM). A streaming iterator
+    wrapped in data.HostLocalBatches yields PER-PROCESS batch slices
+    (batch_size/process_count rows each, typically from
+    PianoRollDataset.host_shard) — per-host sharded data loading: no
+    host ever materializes the global batch or the full corpus.
 
     ``num_steps`` is the TOTAL step count: a resumed state continues from
     its restored step and stops at num_steps.
@@ -465,24 +475,48 @@ def train(cfg: Config,
 
     resident = hasattr(data, "bars")
     if resident:
-        arrays = {"bars": data.bars, "starts": data.starts}
-        if cfg.model.kind == "cond":
-            arrays["chords"] = data.chords
-            arrays["keys"] = data.keys
-        # one upload at startup; on a process-spanning mesh each host holds
-        # the same cache and uploads only its own devices' (replicated)
-        # shards — the multi-host data path (SURVEY §2.2 comm backend row)
-        data_dev = pmesh.put_tree(arrays, pmesh.replicated(mesh))
-        multi_fn = make_train_step_indexed_multi(cfg, model, k)
+        sharded_corpus = cfg.train.corpus_layout == "sharded"
+        from jax.sharding import NamedSharding, PartitionSpec
+        if sharded_corpus:
+            # piece-wise corpus shards over the 'data' axis: each device
+            # holds 1/D of the bar cache and gathers batch rows from its
+            # LOCAL shard via shard_map — resident training for corpora
+            # up to D× one device's HBM (train/sharded_corpus.py)
+            from musicvae_tpu.train.sharded_corpus import (
+                build_sharded_arrays, make_sharded_gather,
+                make_sharded_id_schedule, sharded_data_shardings)
+            n_shards = mesh.shape[pmesh.DATA_AXIS]
+            arrays, counts = build_sharded_arrays(data, n_shards,
+                                                  cfg.train.seed)
+            shardings = sharded_data_shardings(mesh)
+            if jax.process_count() == 1:
+                data_dev = {kk: jax.device_put(v, shardings[kk])
+                            for kk, v in arrays.items()}
+            else:
+                data_dev = {kk: pmesh.put_global(v, shardings[kk])
+                            for kk, v in arrays.items()}
+            multi_fn = make_train_step_indexed_multi(
+                cfg, model, k, gather=make_sharded_gather(cfg, mesh))
+            ids_for_step = make_sharded_id_schedule(cfg.train.seed,
+                                                    counts, b)
+        else:
+            arrays = {"bars": data.bars, "starts": data.starts}
+            if cfg.model.kind == "cond":
+                arrays["chords"] = data.chords
+                arrays["keys"] = data.keys
+            # one upload at startup; on a process-spanning mesh each host
+            # holds the same cache and uploads only its own devices'
+            # (replicated) shards — the multi-host data path (SURVEY §2.2
+            # comm backend row)
+            data_dev = pmesh.put_tree(arrays, pmesh.replicated(mesh))
+            multi_fn = make_train_step_indexed_multi(cfg, model, k)
+            # stateless schedule: resume from any step is O(1) and draws
+            # the ids a continuous run would (make_id_schedule docstring)
+            ids_for_step = make_id_schedule(cfg.train.seed, len(data), b)
         # DP: shard the window-id batch axis over 'data'; the gather then
         # yields a batch sharded on 'data' and XLA psums the grads.
-        from jax.sharding import NamedSharding, PartitionSpec
         idx_sharding = NamedSharding(mesh, PartitionSpec(None,
                                                          pmesh.DATA_AXIS))
-        n = len(data)
-        # stateless schedule: resume from any step is O(1) and draws the
-        # ids a continuous run would (make_id_schedule docstring)
-        ids_for_step = make_id_schedule(cfg.train.seed, n, b)
         if jax.process_count() > 1:
             # fail fast on silently divergent host data: put_global's
             # contract (parallel/mesh.py) is that every process holds the
@@ -519,11 +553,17 @@ def train(cfg: Config,
 
         multi_fn = make_train_step_multi(cfg, model, k, packed_x=True)
         from jax.sharding import NamedSharding, PartitionSpec
+        from musicvae_tpu.data.dataset import HostLocalBatches
         from musicvae_tpu.ops.pack import pack_bits_np
         stacked_sharding = NamedSharding(
             mesh, PartitionSpec(None, pmesh.DATA_AXIS))
         batch_q: "queue.Queue" = queue.Queue(maxsize=2)
         multihost = jax.process_count() > 1
+        # per-host sharded loading: the iterator yields only this
+        # process's rows of the global batch (data.HostLocalBatches);
+        # placement assembles the global array from the local pieces
+        host_local = isinstance(data, HostLocalBatches)
+        put_stack = pmesh.put_host_local if host_local else pmesh.put_tree
 
         def _producer():
             # any failure (incl. an exhausted finite iterator) must reach
@@ -544,15 +584,35 @@ def train(cfg: Config,
                             "(x ∈ {0,1}); got non-binary values, which "
                             "bit-packing would corrupt")
                     stacked["x_packed"] = pack_bits_np(xv)
-                    if di == 0 and multihost:
-                        # streaming's multi-host contract (every host's
-                        # iterator yields identical batches — trainer
-                        # docstring) checked on the first stack; the main
-                        # thread runs the collective (see loop below)
-                        batch_q.put(("check_hosts", [
-                            np.ascontiguousarray(leaf).tobytes()
-                            for leaf in jax.tree.leaves(stacked)]))
-                    batch_q.put(pmesh.put_tree(stacked, stacked_sharding))
+                    if di == 0:
+                        if host_local:
+                            bl = xv.shape[1] * jax.process_count()
+                            if bl != b:
+                                raise ValueError(
+                                    "host-local streaming batches must "
+                                    f"carry batch_size/process_count = "
+                                    f"{b}/{jax.process_count()} rows "
+                                    f"each; got {xv.shape[1]}")
+                        if multihost:
+                            # first-stack cross-host guard. Default
+                            # (replicated) contract: every host's iterator
+                            # yields IDENTICAL batches — hash the content.
+                            # Host-local contract: contents intentionally
+                            # differ, but the STRUCTURE (shapes/dtypes/
+                            # keys) must agree or assembly would fail
+                            # confusingly inside XLA. The main thread runs
+                            # the collective (see loop below).
+                            chunks = ([repr(sorted(
+                                (kk, vv.shape, str(vv.dtype))
+                                for kk, vv in stacked.items())).encode()]
+                                if host_local else
+                                [np.ascontiguousarray(leaf).tobytes()
+                                 for leaf in jax.tree.leaves(stacked)])
+                            batch_q.put(("check_hosts",
+                                         "streaming first-batch structure"
+                                         if host_local else
+                                         "streaming first batch", chunks))
+                    batch_q.put(put_stack(stacked, stacked_sharding))
             except StopIteration:
                 batch_q.put(RuntimeError(
                     f"streaming data iterator exhausted before "
@@ -582,7 +642,7 @@ def train(cfg: Config,
             if isinstance(item, tuple) and item[0] == "check_hosts":
                 from musicvae_tpu.parallel.distributed import \
                     assert_hosts_identical
-                assert_hosts_identical("streaming first batch", *item[1])
+                assert_hosts_identical(item[1], *item[2])
                 item = batch_q.get()
                 if isinstance(item, BaseException):
                     raise item

@@ -20,6 +20,12 @@ boundaries):
              non-addressable devices).
 - streaming: the streaming (iterator) train path; every process serves
              the identically-seeded iterator, put_tree uploads shards.
+- host_sharded: per-host SHARDED data loading — each process holds only
+             its PianoRollDataset.host_shard of the corpus and streams
+             batch_size/num_procs-row local slices (HostLocalBatches →
+             put_host_local); no host ever materializes the global batch.
+             The single-process baseline emulates the same per-shard
+             draws and concatenates them, so results must match exactly.
 - desync:    process 1 deliberately perturbs its local corpus; the
              startup cross-process hash guard must fail fast on EVERY
              process (prints {"desync_caught": true}).
@@ -111,6 +117,29 @@ def main() -> int:
     elif mode == "streaming":
         _, state, metrics = train(
             cfg, ds.iterator(cfg.train.batch_size, seed=3), mesh=mesh)
+    elif mode == "host_sharded":
+        # each host loads ONLY its corpus shard and streams its own rows;
+        # the 1-process baseline emulates the same 2 shards and feeds the
+        # concatenation, so the global batches are identical by design
+        from musicvae_tpu.data import HostLocalBatches
+        n_shards = 2
+        b_local = cfg.train.batch_size // n_shards
+        if num_procs > 1:
+            assert num_procs == n_shards
+            shard = ds.host_shard(proc_id, n_shards, seed=cfg.train.seed)
+            it = HostLocalBatches(shard.iterator(b_local, seed=3))
+            _, state, metrics = train(cfg, it, mesh=mesh)
+        else:
+            its = [ds.host_shard(p, n_shards, seed=cfg.train.seed)
+                     .iterator(b_local, seed=3) for p in range(n_shards)]
+
+            def merged():
+                while True:
+                    parts = [next(i) for i in its]
+                    yield {kk: np.concatenate([p[kk] for p in parts])
+                           for kk in parts[0]}
+
+            _, state, metrics = train(cfg, merged(), mesh=mesh)
     else:
         _, state, metrics = train(cfg, ds, mesh=mesh)
 

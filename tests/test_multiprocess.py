@@ -111,6 +111,26 @@ def test_two_process_streaming_matches_single_process():
 
 
 @pytest.mark.slow
+def test_two_process_host_sharded_matches_single_process():
+    """PER-HOST SHARDED data loading: each process holds only its
+    host_shard of the corpus and streams batch/2-row local slices
+    (HostLocalBatches → put_host_local assembles the global batch from
+    process-local pieces). The 1-process baseline emulates the same two
+    shards and concatenates their draws, so the global batch sequence is
+    identical by construction — loss/params must match across the real
+    process boundary. Closes the round-2 'every host must hold the FULL
+    corpus' caveat."""
+    port = _free_port()
+    two = _run(2, f"127.0.0.1:{port}", mode="host_sharded")
+    one = _run(1, "unused", mode="host_sharded")[0]
+    assert two[0]["step"] == two[1]["step"] == one["step"] == 6
+    np.testing.assert_allclose(two[0]["loss"], two[1]["loss"], rtol=0)
+    np.testing.assert_allclose(two[0]["loss"], one["loss"], rtol=1e-5)
+    np.testing.assert_allclose(two[0]["param_sum"], one["param_sum"],
+                               rtol=1e-6)
+
+
+@pytest.mark.slow
 def test_desynced_host_data_fails_fast():
     """A host whose corpus silently diverges (one flipped cell) must be
     caught by the startup cross-process hash guard on EVERY process —
