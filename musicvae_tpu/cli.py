@@ -84,6 +84,11 @@ def cmd_train(args) -> int:
         ("beta_schedule", args.beta_schedule),
         ("beta_cycle_steps", args.beta_cycle_steps),
         ("beta_warmup_steps", args.beta_warmup_steps),
+        ("free_bits", args.free_bits),
+        ("learning_rate", args.lr),
+        ("lr_schedule", args.lr_schedule),
+        ("lr_warmup_steps", args.lr_warmup_steps),
+        ("lr_min_ratio", args.lr_min_ratio),
         ("eval_every", args.eval_every),
         ("eval_batches", args.eval_batches),
         ("holdout_frac", args.holdout_frac),
@@ -237,6 +242,55 @@ def cmd_eval(args) -> int:
     wt = np.asarray(weights_acc, np.float64)
     means = {k: float(np.dot(v, wt) / wt.sum()) for k, v in acc.items()}
     print(" ".join(f"{k}={v:.5g}" for k, v in sorted(means.items())))
+    return 0
+
+
+def cmd_eval_gen(args) -> int:
+    """Sample-quality statistics of a checkpoint's generations, optionally
+    against a reference corpus (utils/genmetrics.py). Prints one JSON
+    object: {"gen": stats[, "ref": stats, "compare": divergences]} — the
+    numeric stand-in for the reference's listen-and-judge validation."""
+    import json
+    import jax
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.config import GenSpec, get_config
+    from musicvae_tpu.generate import make_generate_fn
+    from musicvae_tpu.parallel import make_mesh, replicated
+    from musicvae_tpu.train import create_state
+    from musicvae_tpu.utils.genmetrics import (bar_stats, compare_stats,
+                                               to_jsonable)
+
+    gen = GenSpec(num_bars=args.bars, num_samples=args.samples,
+                  interpolate=args.interpolate,
+                  temperature=args.temperature,
+                  sample_mode=args.sample_mode,
+                  sample_temperature=args.sample_temperature)
+    manager = checkpoints.make_manager(args.ckpt_dir)
+    if manager.latest_step() is not None:
+        cfg = checkpoints.restore_config(manager).replace(gen=gen)
+        model, state = create_state(cfg)
+        state, _ = checkpoints.restore(manager, state)
+    else:
+        cfg = get_config(args.config).replace(gen=gen)
+        model, state = create_state(cfg)
+        print("warning: no checkpoint found, scoring a random init",
+              file=sys.stderr)
+    mesh = make_mesh(cfg.mesh)
+    params = jax.device_put(state.params, replicated(mesh))
+    dispatch, to_host = _make_packed_gen(make_generate_fn(cfg, model,
+                                                          mesh=mesh))
+    bars = to_host(dispatch(params, jax.random.key(args.seed)))
+    gstats = bar_stats(bars)
+    result = {"samples": int(bars.shape[0]),
+              "bars_per_sample": int(bars.shape[1]),
+              "gen": to_jsonable(gstats)}
+    if args.data:
+        from musicvae_tpu.data import PianoRollDataset
+        ds = PianoRollDataset.load_npy(args.data)
+        rstats = bar_stats(np.asarray(ds.bars))
+        result["ref"] = to_jsonable(rstats)
+        result["compare"] = to_jsonable(compare_stats(gstats, rstats))
+    print(json.dumps(result))
     return 0
 
 
@@ -1494,6 +1548,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--beta-cycle-steps", type=int, default=None,
                    help="cycle length for --beta-schedule cyclical")
     p.add_argument("--beta-warmup-steps", type=int, default=None)
+    p.add_argument("--free-bits", type=float, default=None,
+                   help="free-bits KL floor in nats per latent dimension "
+                        "(posterior-collapse guard; 0 = plain KL-annealed "
+                        "ELBO, the config default)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="Adam learning rate (config default)")
+    p.add_argument("--lr-schedule", choices=["constant", "cosine"],
+                   default=None,
+                   help="fixed lr (reference behavior) or warmup+cosine "
+                        "decay to lr*lr_min_ratio at --steps")
+    p.add_argument("--lr-warmup-steps", type=int, default=None,
+                   help="linear lr warmup steps before the cosine decay")
+    p.add_argument("--lr-min-ratio", type=float, default=None,
+                   help="cosine floor as a fraction of --lr (default 0)")
     p.add_argument("--eval-every", type=int, default=None,
                    help="run held-out eval every N steps (0 = off); the "
                         "best state by eval loss is kept in "
@@ -1532,6 +1600,25 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "--data)")
     p.add_argument("--batches", type=int, default=8)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("eval-gen",
+                       help="sample-quality statistics of generations, "
+                            "optionally vs a reference corpus "
+                            "(JS divergences of pitch/pitch-class "
+                            "histograms, density/duration/polyphony stats)")
+    _add_common(p)
+    p.add_argument("--data", default=None,
+                   help="npz cache from preprocess — the reference corpus "
+                        "the generations are compared against")
+    p.add_argument("--bars", type=int, default=16)
+    p.add_argument("--samples", type=int, default=64)
+    p.add_argument("--interpolate", action="store_true")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--sample-mode", choices=["threshold", "bernoulli"],
+                   default="threshold")
+    p.add_argument("--sample-temperature", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_eval_gen)
 
     p = sub.add_parser("generate", help="bar-by-bar autoregressive sampling")
     _add_common(p)

@@ -84,6 +84,20 @@ class TrainSpec:
     beta_warmup_steps: int = 2000
     beta_hold_steps: int = 0
     beta_cycle_steps: int = 0
+    # Free-bits KL floor (nats per latent dimension, ops/losses.kl_free_bits):
+    # the training objective floors each dimension's batch-mean KL at this
+    # value, the standard posterior-collapse guard in the MusicVAE lineage.
+    # 0 disables (reference behavior: plain KL-annealed ELBO). Eval and the
+    # reported `kl` metric always use the true un-floored KL.
+    free_bits: float = 0.0
+    # Learning-rate schedule: "constant" (reference behavior: fixed Adam lr)
+    # or "cosine" — optional linear warmup over lr_warmup_steps, then cosine
+    # decay from learning_rate to learning_rate*lr_min_ratio at num_steps.
+    # The schedule is a pure function of the optimizer's step count, so
+    # checkpoint resume continues it exactly.
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_min_ratio: float = 0.0
     num_steps: int = 10000
     log_every: int = 100
     ckpt_every: int = 1000

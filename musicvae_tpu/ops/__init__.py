@@ -10,5 +10,6 @@ from musicvae_tpu.ops.losses import (  # noqa: F401
     beta_schedule,
     elbo_loss,
     kl_diag_gaussian,
+    kl_free_bits,
     masked_bce_sum,
 )

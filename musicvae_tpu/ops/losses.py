@@ -51,6 +51,28 @@ def kl_diag_gaussian(mu: jax.Array, logvar: jax.Array) -> jax.Array:
     return -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))
 
 
+def kl_free_bits(mu: jax.Array, logvar: jax.Array,
+                 free_bits: float) -> jax.Array:
+    """Free-bits KL objective (Kingma et al. 2016, as used throughout the
+    MusicVAE lineage): the per-DIMENSION batch-mean KL is floored at
+    ``free_bits`` nats before summing, so dimensions already below the
+    floor contribute a constant (zero gradient) and the posterior is never
+    pushed all the way into the prior — the standard posterior-collapse
+    guard alongside β-annealing.
+
+    Returns the OBJECTIVE value summed over latent dims and scaled back by
+    the batch size, so `kl_free_bits(...) / batch` is a drop-in for
+    `kl_diag_gaussian(...) / batch` in the minimized loss (identical when
+    every dimension's mean KL exceeds the floor; the reported `kl` metric
+    stays the true un-floored KL either way). ``mu``/``logvar``: [B, z]
+    (leading batch axis, any trailing latent axes).
+    """
+    batch = mu.shape[0]
+    per_dim = -0.5 * (1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))
+    mean_per_dim = jnp.mean(per_dim.reshape(batch, -1), axis=0)   # [z]
+    return jnp.sum(jnp.maximum(mean_per_dim, free_bits)) * batch
+
+
 def elbo_loss(
     logits: jax.Array,
     targets: jax.Array,

@@ -36,16 +36,39 @@ class TrainState(struct.PyTreeNode):
     rng: jax.Array           # PRNG key, split on-device each step
 
 
+def make_lr(cfg: Config):
+    """Learning rate per TrainSpec: a float ("constant", the reference's
+    fixed Adam lr — keeps the optimizer state pytree identical to rounds
+    1–2) or an optax schedule ("cosine": optional linear warmup, then
+    cosine decay to lr*lr_min_ratio at num_steps). Schedules are pure
+    functions of the optimizer step count, so resume continues exactly."""
+    t = cfg.train
+    if t.lr_schedule == "constant":
+        return t.learning_rate
+    if t.lr_schedule == "cosine":
+        decay_steps = max(t.num_steps - t.lr_warmup_steps, 1)
+        cos = optax.cosine_decay_schedule(
+            t.learning_rate, decay_steps, alpha=t.lr_min_ratio)
+        if t.lr_warmup_steps <= 0:
+            return cos
+        warm = optax.linear_schedule(0.0, t.learning_rate,
+                                     t.lr_warmup_steps)
+        return optax.join_schedules([warm, cos], [t.lr_warmup_steps])
+    raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}; "
+                     "expected 'constant' or 'cosine'")
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
+    lr = make_lr(cfg)
     chain = []
     if t.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(t.grad_clip_norm))
     if t.weight_decay > 0:
-        chain.append(optax.adamw(t.learning_rate, b1=t.adam_b1, b2=t.adam_b2,
+        chain.append(optax.adamw(lr, b1=t.adam_b1, b2=t.adam_b2,
                                  weight_decay=t.weight_decay))
     else:
-        chain.append(optax.adam(t.learning_rate, b1=t.adam_b1, b2=t.adam_b2))
+        chain.append(optax.adam(lr, b1=t.adam_b1, b2=t.adam_b2))
     return optax.chain(*chain)
 
 
@@ -64,12 +87,19 @@ def create_state(cfg: Config, rng: Optional[jax.Array] = None
 
 
 def elbo_from_outputs(cfg: Config, logits, x, latents, beta,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, free_bits: float = 0.0):
     """recon + beta * (sum of per-level KLs), batch-mean (ops/losses.py).
 
     When ``use_pallas`` the masked-BCE reduction runs through the fused
     Pallas TPU kernel (ops/fused_elbo.py); numerics match the jnp path to
     the tolerance asserted in tests/test_fused_elbo.py.
+
+    ``free_bits`` > 0 floors each latent dimension's batch-mean KL in the
+    MINIMIZED objective (ops/losses.kl_free_bits, per level); the reported
+    ``kl`` metric stays the true un-floored KL so curves remain comparable
+    across runs with and without the floor. The train step passes
+    cfg.train.free_bits; eval (utils/metrics.py) always scores the true
+    ELBO.
     """
     mask = pitch_mask(cfg.midi)
     batch = logits.shape[0]
@@ -84,7 +114,12 @@ def elbo_from_outputs(cfg: Config, logits, x, latents, beta,
     else:
         recon = losses.masked_bce_sum(logits, x, mask) / batch
     kl = sum(losses.kl_diag_gaussian(mu, lv) for mu, lv in latents) / batch
-    loss = recon + beta * kl
+    if free_bits > 0.0:
+        kl_obj = sum(losses.kl_free_bits(mu, lv, free_bits)
+                     for mu, lv in latents) / batch
+    else:
+        kl_obj = kl
+    loss = recon + beta * kl_obj
     return loss, {"loss": loss, "recon": recon, "kl": kl, "beta": beta}
 
 
@@ -160,7 +195,7 @@ def _train_step_body(cfg: Config, model, opt,
         logits, latents = model.apply({"params": params}, batch["x"], **kw,
                                       rngs={"latent": latent_rng})
         return elbo_from_outputs(cfg, logits, batch["x"], latents, beta,
-                                 use_pallas)
+                                 use_pallas, free_bits=t.free_bits)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         beta = losses.beta_schedule(state.step, t.beta_max,

@@ -128,3 +128,53 @@ def test_bce_grads_wrt_targets_and_mask():
         g_p = jax.grad(masked_bce_sum_pallas, argnums=argnum)(logits, x, mask)
         g_r = jax.grad(losses.masked_bce_sum, argnums=argnum)(logits, x, mask)
         np.testing.assert_allclose(g_p, g_r, rtol=1e-5, atol=1e-5)
+
+
+def test_kl_free_bits_floor_and_passthrough():
+    """Free bits: dims below the floor contribute exactly the floor (and
+    zero gradient); dims above pass through the true KL unchanged."""
+    from musicvae_tpu.ops.losses import kl_diag_gaussian, kl_free_bits
+
+    b, z = 8, 16
+    # posterior == prior: true per-dim KL is 0 everywhere, so the
+    # objective is exactly free_bits * z (scaled by batch)
+    mu = jnp.zeros((b, z))
+    lv = jnp.zeros((b, z))
+    fb = 0.25
+    np.testing.assert_allclose(float(kl_free_bits(mu, lv, fb)) / b, fb * z,
+                               rtol=1e-6)
+    # grads vanish below the floor (that is the point of free bits)
+    g_mu, g_lv = jax.grad(
+        lambda m, l: kl_free_bits(m, l, fb), argnums=(0, 1))(mu, lv)
+    np.testing.assert_allclose(g_mu, 0.0, atol=0)
+    np.testing.assert_allclose(g_lv, 0.0, atol=0)
+
+    # far above the floor: identical to the true KL (and fb=0 always is)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    mu = jax.random.normal(k1, (b, z)) * 4.0
+    lv = jax.random.normal(k2, (b, z))
+    np.testing.assert_allclose(float(kl_free_bits(mu, lv, 1e-4)),
+                               float(kl_diag_gaussian(mu, lv)), rtol=1e-5)
+    np.testing.assert_allclose(float(kl_free_bits(mu, lv, 0.0)),
+                               float(kl_diag_gaussian(mu, lv)), rtol=1e-6)
+
+
+def test_elbo_from_outputs_free_bits_objective():
+    """The train objective uses the floored KL; the reported `kl` metric
+    stays the true KL (curves comparable across runs with/without it)."""
+    from musicvae_tpu.config import C1_CONV_BAR
+    from musicvae_tpu.ops.losses import kl_free_bits
+    from musicvae_tpu.train.trainer import elbo_from_outputs
+
+    logits, x, _, mu, logvar = _data(b=4, n=1)
+    logits, x = logits[:, 0], x[:, 0]
+    cfg = C1_CONV_BAR
+    fb = 5.0   # far above any dim's mean KL here -> floor binds everywhere
+    loss, m = elbo_from_outputs(cfg, logits, x, [(mu, logvar)],
+                                beta=jnp.asarray(1.0), free_bits=fb)
+    loss0, m0 = elbo_from_outputs(cfg, logits, x, [(mu, logvar)],
+                                  beta=jnp.asarray(1.0))
+    np.testing.assert_allclose(float(m["kl"]), float(m0["kl"]), rtol=1e-6)
+    want = float(m["recon"]) + float(kl_free_bits(mu, logvar, fb)) / 4
+    np.testing.assert_allclose(float(loss), want, rtol=1e-6)
+    assert float(loss) > float(loss0)
