@@ -120,7 +120,9 @@ def js_divergence(p: np.ndarray, q: np.ndarray) -> float:
 def compare_stats(gen: Dict, ref: Dict) -> Dict[str, float]:
     """Divergence summary between two bar_stats results: JS divergences of
     the pitch / pitch-class histograms plus per-scalar absolute and
-    relative (vs ref, guarded) differences."""
+    relative differences. A relative diff against a (near-)zero reference
+    value is undefined and reported as None (JSON null) rather than an
+    arbitrary huge number — consumers should read the absolute diff there."""
     out = {
         "js_pitch": js_divergence(gen["pitch_hist"], ref["pitch_hist"]),
         "js_pitch_class": js_divergence(gen["pitch_class_hist"],
@@ -129,12 +131,15 @@ def compare_stats(gen: Dict, ref: Dict) -> Dict[str, float]:
     for key in SCALAR_KEYS:
         g, r = float(gen[key]), float(ref[key])
         out[f"abs_diff_{key}"] = abs(g - r)
-        out[f"rel_diff_{key}"] = abs(g - r) / max(abs(r), 1e-9)
+        out[f"rel_diff_{key}"] = (abs(g - r) / abs(r)
+                                  if abs(r) > 1e-9 else None)
     return out
 
 
 def to_jsonable(stats: Dict) -> Dict:
-    """np arrays → lists, np scalars → python floats (for json.dump)."""
+    """np arrays → lists, np scalars → python floats, None passes through
+    (for json.dump)."""
     return {k: (np.asarray(v).round(6).tolist()
-                if isinstance(v, np.ndarray) else float(v))
+                if isinstance(v, np.ndarray)
+                else (None if v is None else float(v)))
             for k, v in stats.items()}

@@ -98,6 +98,13 @@ def test_compare_stats_and_jsonable():
     c2 = compare_stats(g, r2)
     assert c2["abs_diff_notes_per_bar"] == 1.0
     assert c2["rel_diff_notes_per_bar"] == pytest.approx(0.5)
+    # relative diff vs a zero reference is undefined -> None (JSON null)
+    r3 = dict(r, notes_per_bar=0.0)
+    c3 = compare_stats(g, r3)
+    assert c3["rel_diff_notes_per_bar"] is None
+    assert c3["abs_diff_notes_per_bar"] == 1.0
+    assert json.loads(json.dumps(to_jsonable(c3)))[
+        "rel_diff_notes_per_bar"] is None
     json.dumps(to_jsonable(g))               # round-trips through json
 
 
