@@ -37,6 +37,21 @@ _ERRORS = {
 }
 
 
+def _lib_path() -> str:
+    """Where the compiled .so lives: next to the source in a dev checkout,
+    or under the user cache dir when the package directory is read-only
+    (a wheel installed into root-owned site-packages ships only the .cpp —
+    pyproject.toml package-data — and must still get the native path)."""
+    if os.access(_DIR, os.W_OK):
+        return _LIB
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "musicvae_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libmvae_native.so")
+
+
 def build(force: bool = False) -> str:
     """Compile the native library (idempotent). Returns the .so path.
 
@@ -45,19 +60,20 @@ def build(force: bool = False) -> str:
     all decide to rebuild, and a non-atomic `g++ -o LIB` would let one
     process dlopen another's half-written file.
     """
-    if force or not os.path.exists(_LIB) or (
-            os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
-        tmp = f"{_LIB}.{os.getpid()}.tmp"
+    lib = _lib_path()
+    if force or not os.path.exists(lib) or (
+            os.path.getmtime(_SRC) > os.path.getmtime(lib)):
+        tmp = f"{lib}.{os.getpid()}.tmp"
         try:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                  "-o", tmp, _SRC],
                 check=True, capture_output=True)
-            os.replace(tmp, _LIB)
+            os.replace(tmp, lib)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
-    return _LIB
+    return lib
 
 
 def load() -> Optional[ctypes.CDLL]:

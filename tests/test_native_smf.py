@@ -172,3 +172,30 @@ def test_pack_bits_roundtrips_both_directions():
     np.testing.assert_array_equal(unpack_bits_np(packed_dev), x)
     np.testing.assert_array_equal(
         np.asarray(unpack_bits(packed_host, np.uint8)), x)
+
+
+def test_lib_path_read_only_package_dir(monkeypatch, tmp_path):
+    """A wheel installed into read-only site-packages ships only the .cpp;
+    _lib_path must route the compiled .so to the user cache dir (honoring
+    XDG_CACHE_HOME) instead of failing the build and silently losing the
+    native path. Writable package dir keeps the in-tree location."""
+    import os
+
+    from musicvae_tpu.native import _DIR, _LIB, _lib_path
+
+    assert _lib_path() in (_LIB, os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "musicvae_tpu", "libmvae_native.so"))
+
+    real_access = os.access
+
+    def deny_pkg_dir(path, mode):
+        if path == _DIR and mode == os.W_OK:
+            return False
+        return real_access(path, mode)
+
+    monkeypatch.setattr(os, "access", deny_pkg_dir)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    p = _lib_path()
+    assert p == str(tmp_path / "musicvae_tpu" / "libmvae_native.so")
+    assert os.path.isdir(tmp_path / "musicvae_tpu")
