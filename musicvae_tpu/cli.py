@@ -74,7 +74,7 @@ def cmd_train(args) -> int:
     from musicvae_tpu.config import get_config
     from musicvae_tpu.data import PianoRollDataset, synth_corpus
     from musicvae_tpu.parallel import make_mesh
-    from musicvae_tpu.train import create_state, train
+    from musicvae_tpu.train import GracefulStop, create_state, train
     from musicvae_tpu.utils import MetricsLogger
 
     cfg = get_config(args.config)
@@ -91,6 +91,8 @@ def cmd_train(args) -> int:
         ("lr_min_ratio", args.lr_min_ratio),
         ("eval_every", args.eval_every),
         ("eval_batches", args.eval_batches),
+        ("log_every", args.log_every),
+        ("ckpt_every", args.ckpt_every),
         ("holdout_frac", args.holdout_frac),
         ("transpose_aug", args.transpose_aug),
         ("corpus_layout", args.corpus_layout),
@@ -168,13 +170,22 @@ def cmd_train(args) -> int:
                                                seed=cfg.train.seed))
     elif args.stream:
         data = ds.iterator(cfg.train.batch_size, seed=cfg.train.seed)
-    _, state, metrics = train(
-        cfg, data, mesh=mesh, ckpt_manager=manager, log_fn=logger,
-        state=state, eval_data=eval_ds, best_ckpt_manager=best_manager)
+    # SIGTERM/SIGINT (scheduler preemption, ^C): finish the in-flight
+    # dispatch, checkpoint the exact step, exit 0 with a resume hint
+    with GracefulStop() as stop:
+        _, state, metrics = train(
+            cfg, data, mesh=mesh, ckpt_manager=manager, log_fn=logger,
+            state=state, eval_data=eval_ds, best_ckpt_manager=best_manager,
+            stop=stop)
     if best_manager is not None:
         best_manager.wait_until_finished()
     checkpoints.save(manager, state, cfg, wait=True)
     logger.close()
+    if stop.requested:
+        print(f"preempted: checkpoint saved at step "
+              f"{int(jax.device_get(state.step))}; continue with --resume",
+              file=sys.stderr)
+        return 0
     print(f"final metrics: { {k: float(v) for k, v in metrics.items()} }")
     return 0
 
@@ -1567,6 +1578,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "best state by eval loss is kept in "
                         "<ckpt-dir>/best")
     p.add_argument("--eval-batches", type=int, default=None)
+    p.add_argument("--log-every", type=int, default=None,
+                   help="metrics log cadence in steps (config default; "
+                        "also bounds the K-step dispatch size via the "
+                        "log/ckpt/eval cadence gcd)")
+    p.add_argument("--ckpt-every", type=int, default=None,
+                   help="periodic checkpoint cadence in steps "
+                        "(config default)")
     p.add_argument("--transpose-aug", type=int, default=None,
                    help="on-device pitch-transpose augmentation: uniform "
                         "per-example shift in [-K, +K] semitones per "

@@ -402,7 +402,8 @@ def train(cfg: Config,
           log_fn: Optional[Callable[[int, Dict], None]] = None,
           state: Optional[TrainState] = None,
           eval_data: Any = None,
-          best_ckpt_manager=None):
+          best_ckpt_manager=None,
+          stop=None):
     """Host-side loop. ``data`` is either a PianoRollDataset (preferred:
     uploaded to HBM once, batches gathered on-device by index — see
     make_train_step_indexed) or an iterator of host batches (streaming
@@ -421,6 +422,13 @@ def train(cfg: Config,
     ``eval_*`` keys and, when ``best_ckpt_manager`` is given, the state
     with the lowest eval loss so far is checkpointed there (SURVEY §2.1
     #10 "periodic eval recon" — the early posterior-collapse signal).
+
+    ``stop`` (a preemption.GracefulStop, or anything with a ``requested``
+    attribute) makes the loop preemption-safe: checked once per dispatch
+    (collectively on a multi-process mesh — stop iff ANY process was
+    signaled), and when set the loop checkpoints the exact interrupted
+    step into ``ckpt_manager`` and returns normally. Resume from that
+    step is O(1) and keeps the production K (dispatch_sizes).
 
     Returns (model, final_state, last_metrics).
     """
@@ -703,4 +711,19 @@ def train(cfg: Config,
         if ckpt_manager is not None and step % cfg.train.ckpt_every == 0:
             from musicvae_tpu.checkpoints import io as ckpt_io
             ckpt_io.save(ckpt_manager, state, cfg)
+        if stop is not None:
+            stop_now = bool(stop.requested)
+            if jax.process_count() > 1:
+                # collective decision: the save below is a collective op,
+                # so every process must agree to enter it this dispatch
+                # even when the scheduler signaled only some of them
+                from jax.experimental import multihost_utils
+                stop_now = bool(multihost_utils.process_allgather(
+                    np.int32(stop_now)).max())
+            if stop_now:
+                if (ckpt_manager is not None
+                        and step % cfg.train.ckpt_every != 0):
+                    from musicvae_tpu.checkpoints import io as ckpt_io
+                    ckpt_io.save(ckpt_manager, state, cfg)
+                break
     return model, state, metrics
