@@ -99,7 +99,12 @@ def cmd_train(args) -> int:
     ) if v is not None}
     if overrides:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
-    if args.data and os.path.exists(args.data):
+    if args.data:
+        if not os.path.exists(args.data):
+            # a typo'd path must not silently train on synthetic data
+            print(f"error: --data {args.data} does not exist",
+                  file=sys.stderr)
+            return 2
         ds = PianoRollDataset.load_npy(args.data)
         if ds.num_bars != cfg.model.num_bars:
             print(f"error: {args.data} has {ds.num_bars}-bar windows "
@@ -107,6 +112,22 @@ def cmd_train(args) -> int:
                   f"{cfg.model.num_bars}-bar windows; re-run preprocess "
                   f"with --config {cfg.name}", file=sys.stderr)
             return 2
+    elif args.midi_glob:
+        # one-shot workflow: tensorize the MIDI corpus in-process (same
+        # path as preprocess, labels inferred for cond models) and train
+        pieces = []
+        for path in sorted(glob.glob(args.midi_glob)):
+            with open(path, "rb") as f:
+                pieces.append((f.read(), None, None))
+        if not pieces:
+            print(f"error: no MIDI files match {args.midi_glob}",
+                  file=sys.stderr)
+            return 2
+        ds = PianoRollDataset.from_corpus(pieces, cfg.midi,
+                                          cfg.model.num_bars,
+                                          infer_labels=True)
+        print(f"tensorized {len(pieces)} MIDI files from "
+              f"{args.midi_glob}", file=sys.stderr)
     else:
         ds = PianoRollDataset.from_corpus(
             synth_corpus(64, n_bars=32, seed=cfg.train.seed),
@@ -1551,6 +1572,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("train", help="train a config")
     _add_common(p)
     p.add_argument("--data", default=None, help="npz cache from preprocess")
+    p.add_argument("--midi-glob", default=None,
+                   help="train straight from .mid files (tensorized "
+                        "in-process, labels inferred); --data takes "
+                        "precedence. Default with neither: a synthetic "
+                        "corpus")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--resume", action="store_true")

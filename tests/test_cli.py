@@ -1106,3 +1106,34 @@ def test_serve_unknown_cmd_in_band_error(tmp_path, capsys, monkeypatch):
         assert [l["id"] for l in lines] == [1, 2], extra
         assert "unknown cmd 'stat'" in lines[0]["error"], extra
         assert lines[1]["midi_b64"]
+
+
+def test_train_midi_glob_and_missing_data_error(tmp_path, capsys):
+    """`train --midi-glob` tensorizes .mid files in-process and trains;
+    `--data <missing path>` errors instead of silently training on the
+    synthetic fallback corpus (the typo'd-path footgun)."""
+    from musicvae_tpu.data import synth_corpus
+
+    for i, (midi, _, _) in enumerate(synth_corpus(2, n_bars=6, seed=1)):
+        (tmp_path / f"p{i}.mid").write_bytes(midi)
+    rc = main(["train", "--config", "c1_conv_bar",
+               "--midi-glob", str(tmp_path / "*.mid"), "--steps", "1",
+               "--ckpt-dir", str(tmp_path / "c"),
+               "--log-dir", str(tmp_path / "l")])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "tensorized 2 MIDI files" in err
+
+    rc = main(["train", "--config", "c1_conv_bar",
+               "--data", str(tmp_path / "typo.npz"), "--steps", "1",
+               "--ckpt-dir", str(tmp_path / "c2"),
+               "--log-dir", str(tmp_path / "l2")])
+    assert rc == 2
+    assert "does not exist" in capsys.readouterr().err
+
+    rc = main(["train", "--config", "c1_conv_bar",
+               "--midi-glob", str(tmp_path / "nothing_matches_*.mid"),
+               "--steps", "1", "--ckpt-dir", str(tmp_path / "c3"),
+               "--log-dir", str(tmp_path / "l3")])
+    assert rc == 2
+    assert "no MIDI files" in capsys.readouterr().err
