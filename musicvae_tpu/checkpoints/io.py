@@ -46,9 +46,15 @@ def make_manager(directory: str, keep: int = 3) -> ocp.CheckpointManager:
 
 
 def save(manager: ocp.CheckpointManager, state, cfg: config_lib.Config,
-         wait: bool = False) -> None:
+         wait: bool = False) -> bool:
+    """Save; returns whether Orbax actually wrote the step. False means
+    the manager's should_save declined (the directory already holds this
+    step or a NEWER one) — callers that promise the user a checkpoint
+    exists at state.step must check this (the CLI refuses to start a
+    fresh run into a dir with existing checkpoints for exactly this
+    reason)."""
     step = int(jax.device_get(state.step))
-    manager.save(
+    saved = manager.save(
         step,
         args=ocp.args.Composite(
             state=ocp.args.StandardSave(state),
@@ -56,6 +62,7 @@ def save(manager: ocp.CheckpointManager, state, cfg: config_lib.Config,
         ))
     if wait:
         manager.wait_until_finished()
+    return bool(saved)
 
 
 def restore_config(manager: ocp.CheckpointManager,

@@ -26,36 +26,45 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ckpt-dir", default="checkpoints_out")
 
 
+def _read_midi_corpus(midi_glob: str, labels_path=None):
+    """Read a MIDI glob into (pieces, error_rc). Real MIDI carries no
+    chord/key classes: a sidecar label (JSON {basename: {chord, key}})
+    wins, otherwise entries are None and the caller decides whether to
+    infer (midi/labels.py). Shared by preprocess and train --midi-glob —
+    one reading/validation path, one drift surface."""
+    sidecar = {}
+    if labels_path:
+        import json
+        with open(labels_path) as f:
+            sidecar = json.load(f)
+    pieces = []
+    for path in sorted(glob.glob(midi_glob)):
+        with open(path, "rb") as f:
+            data = f.read()
+        lab = sidecar.get(os.path.basename(path), {})
+        chord = lab.get("chord")
+        key = lab.get("key")
+        for name, v in (("chord", chord), ("key", key)):
+            if v is not None and not 0 <= int(v) < 24:
+                print(f"error: label {name}={v} for {path} out of "
+                      f"range 0..23", file=sys.stderr)
+                return None, 2
+        pieces.append((data, chord, key))
+    if not pieces:
+        print(f"no MIDI files match {midi_glob}", file=sys.stderr)
+        return None, 1
+    return pieces, 0
+
+
 def cmd_preprocess(args) -> int:
     from musicvae_tpu.config import get_config
     from musicvae_tpu.data import PianoRollDataset, synth_corpus
 
     cfg = get_config(args.config)
     if args.midi_glob:
-        sidecar = {}
-        if args.labels:
-            import json
-            with open(args.labels) as f:
-                sidecar = json.load(f)
-        # real MIDI carries no chord/key classes: a sidecar label wins,
-        # otherwise they are inferred from the rolls (midi/labels.py)
-        # unless --no-infer-labels pins them to 0.
-        pieces = []
-        for path in sorted(glob.glob(args.midi_glob)):
-            with open(path, "rb") as f:
-                data = f.read()
-            lab = sidecar.get(os.path.basename(path), {})
-            chord = lab.get("chord")
-            key = lab.get("key")
-            for name, v in (("chord", chord), ("key", key)):
-                if v is not None and not 0 <= int(v) < 24:
-                    print(f"error: label {name}={v} for {path} out of "
-                          f"range 0..23", file=sys.stderr)
-                    return 2
-            pieces.append((data, chord, key))
-        if not pieces:
-            print(f"no MIDI files match {args.midi_glob}", file=sys.stderr)
-            return 1
+        pieces, rc = _read_midi_corpus(args.midi_glob, args.labels)
+        if rc:
+            return rc
         infer = not args.no_infer_labels
     else:
         pieces = synth_corpus(args.synthetic_pieces, n_bars=32,
@@ -113,15 +122,11 @@ def cmd_train(args) -> int:
                   f"with --config {cfg.name}", file=sys.stderr)
             return 2
     elif args.midi_glob:
-        # one-shot workflow: tensorize the MIDI corpus in-process (same
-        # path as preprocess, labels inferred for cond models) and train
-        pieces = []
-        for path in sorted(glob.glob(args.midi_glob)):
-            with open(path, "rb") as f:
-                pieces.append((f.read(), None, None))
-        if not pieces:
-            print(f"error: no MIDI files match {args.midi_glob}",
-                  file=sys.stderr)
+        # one-shot workflow: tensorize the MIDI corpus in-process (the
+        # same reading/validation path as preprocess, incl. the --labels
+        # sidecar; unlabeled pieces get inferred labels for cond models)
+        pieces, rc = _read_midi_corpus(args.midi_glob, args.labels)
+        if rc:
             return 2
         ds = PianoRollDataset.from_corpus(pieces, cfg.midi,
                                           cfg.model.num_bars,
@@ -137,7 +142,20 @@ def cmd_train(args) -> int:
     logger = MetricsLogger(args.log_dir)
     state = None
     if args.resume and manager.latest_step() is not None:
-        _, template = create_state(cfg)
+        # the restore TEMPLATE must be built from the CHECKPOINT's config,
+        # not the CLI-side one: the optimizer-state pytree depends on the
+        # training spec (a cosine lr schedule carries a step-count leaf a
+        # constant lr does not), so a template from the wrong config makes
+        # every step unrestorable (looks like corruption)
+        ckpt_cfg = checkpoints.restore_config(manager)
+        if (overrides.get("lr_schedule", ckpt_cfg.train.lr_schedule)
+                != ckpt_cfg.train.lr_schedule):
+            print(f"error: cannot change --lr-schedule on resume (the "
+                  f"checkpoint was trained with "
+                  f"{ckpt_cfg.train.lr_schedule!r}; its optimizer state "
+                  f"has that schedule's structure)", file=sys.stderr)
+            return 2
+        _, template = create_state(ckpt_cfg)
         state, cfg = checkpoints.restore(manager, template)
         # the checkpoint's config wins by default, but explicit CLI flags
         # must still apply (e.g. --resume --steps 500 extends the run)
@@ -150,6 +168,15 @@ def cmd_train(args) -> int:
         # fallback this differs from what latest_step() claimed pre-restore
         print(f"resumed from step {int(jax.device_get(state.step))}",
               file=sys.stderr)
+    elif manager.latest_step() is not None:
+        # a fresh run into a dir holding an older run's checkpoints would
+        # have every save silently skipped (Orbax only saves steps newer
+        # than the latest) and --resume would later restore the OLD run —
+        # refuse instead of silently losing work
+        print(f"error: {args.ckpt_dir} already contains a checkpoint at "
+              f"step {manager.latest_step()}; pass --resume to continue "
+              f"it or use a fresh --ckpt-dir", file=sys.stderr)
+        return 2
     # holdout split AFTER restore so a resumed run honors the checkpoint's
     # eval settings: the split is deterministic in (corpus, seed), so the
     # resumed run reproduces the original train/eval partition rather than
@@ -277,6 +304,40 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def _gen_spec_from_args(args):
+    from musicvae_tpu.config import GenSpec
+    return GenSpec(num_bars=args.bars, num_samples=args.samples,
+                   interpolate=args.interpolate,
+                   temperature=args.temperature,
+                   sample_mode=args.sample_mode,
+                   sample_temperature=args.sample_temperature)
+
+
+def _load_gen_state(args, gen, what: str):
+    """(cfg, model, state) from --ckpt-dir with ``gen`` applied; the
+    checkpoint's config wins over --config (with a note), and a missing
+    checkpoint falls back to a random init of --config with a warning.
+    One load path shared by generate and eval-gen."""
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.config import get_config
+    from musicvae_tpu.train import create_state
+
+    manager = checkpoints.make_manager(args.ckpt_dir)
+    if manager.latest_step() is not None:
+        cfg = checkpoints.restore_config(manager).replace(gen=gen)
+        if args.config != cfg.name:
+            print(f"note: checkpoint was trained with config {cfg.name!r}; "
+                  f"using it", file=sys.stderr)
+        model, state = create_state(cfg)
+        state, _ = checkpoints.restore(manager, state)
+    else:
+        cfg = get_config(args.config).replace(gen=gen)
+        model, state = create_state(cfg)
+        print(f"warning: no checkpoint found, {what} from random init",
+              file=sys.stderr)
+    return cfg, model, state
+
+
 def cmd_eval_gen(args) -> int:
     """Sample-quality statistics of a checkpoint's generations, optionally
     against a reference corpus (utils/genmetrics.py). Prints one JSON
@@ -284,29 +345,13 @@ def cmd_eval_gen(args) -> int:
     numeric stand-in for the reference's listen-and-judge validation."""
     import json
     import jax
-    from musicvae_tpu import checkpoints
-    from musicvae_tpu.config import GenSpec, get_config
     from musicvae_tpu.generate import make_generate_fn
     from musicvae_tpu.parallel import make_mesh, replicated
-    from musicvae_tpu.train import create_state
     from musicvae_tpu.utils.genmetrics import (bar_stats, compare_stats,
                                                to_jsonable)
 
-    gen = GenSpec(num_bars=args.bars, num_samples=args.samples,
-                  interpolate=args.interpolate,
-                  temperature=args.temperature,
-                  sample_mode=args.sample_mode,
-                  sample_temperature=args.sample_temperature)
-    manager = checkpoints.make_manager(args.ckpt_dir)
-    if manager.latest_step() is not None:
-        cfg = checkpoints.restore_config(manager).replace(gen=gen)
-        model, state = create_state(cfg)
-        state, _ = checkpoints.restore(manager, state)
-    else:
-        cfg = get_config(args.config).replace(gen=gen)
-        model, state = create_state(cfg)
-        print("warning: no checkpoint found, scoring a random init",
-              file=sys.stderr)
+    cfg, model, state = _load_gen_state(args, _gen_spec_from_args(args),
+                                        what="scoring")
     mesh = make_mesh(cfg.mesh)
     params = jax.device_put(state.params, replicated(mesh))
     dispatch, to_host = _make_packed_gen(make_generate_fn(cfg, model,
@@ -327,31 +372,11 @@ def cmd_eval_gen(args) -> int:
 
 
 def cmd_generate(args) -> int:
-    import dataclasses
     import jax
-    from musicvae_tpu import checkpoints
-    from musicvae_tpu.config import GenSpec, get_config
     from musicvae_tpu.generate import bars_to_midi, make_generate_fn
-    from musicvae_tpu.train import create_state
 
-    gen = GenSpec(num_bars=args.bars, num_samples=args.samples,
-                  interpolate=args.interpolate,
-                  temperature=args.temperature,
-                  sample_mode=args.sample_mode,
-                  sample_temperature=args.sample_temperature)
-    manager = checkpoints.make_manager(args.ckpt_dir)
-    if manager.latest_step() is not None:
-        cfg = checkpoints.restore_config(manager).replace(gen=gen)
-        if args.config != cfg.name:
-            print(f"note: checkpoint was trained with config {cfg.name!r}; "
-                  f"using it", file=sys.stderr)
-        model, state = create_state(cfg)
-        state, _ = checkpoints.restore(manager, state)
-    else:
-        cfg = get_config(args.config).replace(gen=gen)
-        model, state = create_state(cfg)
-        print("warning: no checkpoint found, generating from random init",
-              file=sys.stderr)
+    cfg, model, state = _load_gen_state(args, _gen_spec_from_args(args),
+                                        what="generating")
     from musicvae_tpu.parallel import make_mesh, replicated
     mesh = make_mesh(cfg.mesh)
     params = jax.device_put(state.params, replicated(mesh))
@@ -1574,9 +1599,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--data", default=None, help="npz cache from preprocess")
     p.add_argument("--midi-glob", default=None,
                    help="train straight from .mid files (tensorized "
-                        "in-process, labels inferred); --data takes "
-                        "precedence. Default with neither: a synthetic "
-                        "corpus")
+                        "in-process; labels from --labels else "
+                        "inferred); --data takes precedence. Default "
+                        "with neither: a synthetic corpus")
+    p.add_argument("--labels", default=None,
+                   help="with --midi-glob: JSON sidecar "
+                        "{basename: {chord, key}} as in preprocess")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--resume", action="store_true")
@@ -1605,12 +1633,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                         "<ckpt-dir>/best")
     p.add_argument("--eval-batches", type=int, default=None)
     p.add_argument("--log-every", type=int, default=None,
-                   help="metrics log cadence in steps (config default; "
-                        "also bounds the K-step dispatch size via the "
-                        "log/ckpt/eval cadence gcd)")
+                   help="metrics log cadence in steps, 0 = off (config "
+                        "default; also bounds the K-step dispatch size "
+                        "via the log/ckpt/eval cadence gcd)")
     p.add_argument("--ckpt-every", type=int, default=None,
-                   help="periodic checkpoint cadence in steps "
-                        "(config default)")
+                   help="periodic checkpoint cadence in steps, 0 = off "
+                        "(the final and preemption saves still happen; "
+                        "config default)")
     p.add_argument("--transpose-aug", type=int, default=None,
                    help="on-device pitch-transpose augmentation: uniform "
                         "per-example shift in [-K, +K] semitones per "

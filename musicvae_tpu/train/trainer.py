@@ -322,10 +322,16 @@ def pick_k(cfg: Config, do_eval: bool) -> int:
     config's device step time. k divides every cadence, so once the step
     counter is k-aligned (see dispatch_sizes) every absolute boundary
     (step % log_every == 0 etc.) lands exactly on a dispatch edge.
+
+    Cadences <= 0 mean "off" (matching eval_every's contract) and don't
+    constrain k; with every cadence off there is no boundary to hit and
+    k is simply the cap.
     """
-    g = math.gcd(cfg.train.log_every, cfg.train.ckpt_every)
-    if do_eval:
-        g = math.gcd(g, cfg.train.eval_every)
+    cadences = [c for c in (cfg.train.log_every, cfg.train.ckpt_every) +
+                ((cfg.train.eval_every,) if do_eval else ()) if c > 0]
+    if not cadences:
+        return 100
+    g = math.gcd(*cadences) if len(cadences) > 1 else cadences[0]
     return max(d for d in range(1, min(g, 100) + 1) if g % d == 0)
 
 
@@ -594,6 +600,12 @@ def train(cfg: Config,
         import queue
         import threading
 
+        # set when the consumer loop exits early (preemption stop or an
+        # exception): the producer would otherwise block forever on a
+        # full queue — a leaked thread pinning up to two K-step
+        # device-resident batch stacks in a long-lived process
+        producer_quit = threading.Event()
+
         multi_fn = make_train_step_multi(cfg, model, k, packed_x=True)
         from jax.sharding import NamedSharding, PartitionSpec
         from musicvae_tpu.data.dataset import HostLocalBatches
@@ -607,6 +619,20 @@ def train(cfg: Config,
         # placement assembles the global array from the local pieces
         host_local = isinstance(data, HostLocalBatches)
         put_stack = pmesh.put_host_local if host_local else pmesh.put_tree
+
+        class _Quit(Exception):
+            pass
+
+        def _qput(item):
+            # bounded-wait put: wakes to notice producer_quit instead of
+            # blocking forever on a queue the consumer stopped draining
+            while not producer_quit.is_set():
+                try:
+                    batch_q.put(item, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
+            raise _Quit
 
         def _producer():
             # any failure (incl. an exhausted finite iterator) must reach
@@ -651,79 +677,98 @@ def train(cfg: Config,
                                 if host_local else
                                 [np.ascontiguousarray(leaf).tobytes()
                                  for leaf in jax.tree.leaves(stacked)])
-                            batch_q.put(("check_hosts",
-                                         "streaming first-batch structure"
-                                         if host_local else
-                                         "streaming first batch", chunks))
-                    batch_q.put(put_stack(stacked, stacked_sharding))
+                            _qput(("check_hosts",
+                                   "streaming first-batch structure"
+                                   if host_local else
+                                   "streaming first batch", chunks))
+                    _qput(put_stack(stacked, stacked_sharding))
+            except _Quit:
+                return
             except StopIteration:
-                batch_q.put(RuntimeError(
+                exc: BaseException = RuntimeError(
                     f"streaming data iterator exhausted before "
                     f"{num_steps} steps; supply an infinite iterator "
-                    f"or fewer num_steps"))
+                    f"or fewer num_steps")
+                try:
+                    _qput(exc)
+                except _Quit:
+                    return
             except BaseException as e:          # noqa: BLE001
-                batch_q.put(e)
+                try:
+                    _qput(e)
+                except _Quit:
+                    return
 
         threading.Thread(target=_producer, daemon=True,
                          name="mvae-prefetch").start()
 
     metrics = {}
     step = start_step
-    for ki in sizes:
-        if resident:
-            # every process draws the same ids (same seed) and put_tree
-            # uploads each device's slice — the batch axis is globally
-            # sharded over 'data' whether or not the mesh spans hosts
-            idxs = np.stack([ids_for_step(step + j) for j in range(ki)])
-            idxs = pmesh.put_tree(idxs, idx_sharding)
-            state, metrics = multi_fn(state, data_dev, idxs)
-            step += ki
-        else:
-            item = batch_q.get()
-            if isinstance(item, BaseException):
-                raise item
-            if isinstance(item, tuple) and item[0] == "check_hosts":
-                from musicvae_tpu.parallel.distributed import \
-                    assert_hosts_identical
-                assert_hosts_identical(item[1], *item[2])
+    try:
+        for ki in sizes:
+            if resident:
+                # every process draws the same ids (same seed) and put_tree
+                # uploads each device's slice — the batch axis is globally
+                # sharded over 'data' whether or not the mesh spans hosts
+                idxs = np.stack([ids_for_step(step + j) for j in range(ki)])
+                idxs = pmesh.put_tree(idxs, idx_sharding)
+                state, metrics = multi_fn(state, data_dev, idxs)
+                step += ki
+            else:
                 item = batch_q.get()
                 if isinstance(item, BaseException):
                     raise item
-            state, metrics = multi_fn(state, item)
-            step += ki
-        if log_fn is not None and step % cfg.train.log_every == 0:
-            log_fn(step, jax.device_get(metrics))
-        if do_eval and step % eval_every == 0:
-            eval_metrics = run_eval(state)
-            if log_fn is not None:
-                log_fn(step, eval_metrics)
-            if (best_ckpt_manager is not None
-                    and eval_metrics["eval_loss"] < best_eval_loss):
-                best_eval_loss = eval_metrics["eval_loss"]
-                from musicvae_tpu.checkpoints import io as ckpt_io
-                ckpt_io.save(best_ckpt_manager, state, cfg)
-                # crash-safe + single-writer: only process 0 (the same
-                # process that owns the Orbax commit) writes, atomically
-                if best_metric_path is not None and jax.process_index() == 0:
-                    _write_json_atomic(best_metric_path,
-                                       {"eval_loss": best_eval_loss,
-                                        "step": step})
-        if ckpt_manager is not None and step % cfg.train.ckpt_every == 0:
-            from musicvae_tpu.checkpoints import io as ckpt_io
-            ckpt_io.save(ckpt_manager, state, cfg)
-        if stop is not None:
-            stop_now = bool(stop.requested)
-            if jax.process_count() > 1:
-                # collective decision: the save below is a collective op,
-                # so every process must agree to enter it this dispatch
-                # even when the scheduler signaled only some of them
-                from jax.experimental import multihost_utils
-                stop_now = bool(multihost_utils.process_allgather(
-                    np.int32(stop_now)).max())
-            if stop_now:
-                if (ckpt_manager is not None
-                        and step % cfg.train.ckpt_every != 0):
+                if isinstance(item, tuple) and item[0] == "check_hosts":
+                    from musicvae_tpu.parallel.distributed import \
+                        assert_hosts_identical
+                    assert_hosts_identical(item[1], *item[2])
+                    item = batch_q.get()
+                    if isinstance(item, BaseException):
+                        raise item
+                state, metrics = multi_fn(state, item)
+                step += ki
+            if (log_fn is not None and cfg.train.log_every > 0
+                    and step % cfg.train.log_every == 0):
+                log_fn(step, jax.device_get(metrics))
+            if do_eval and step % eval_every == 0:
+                eval_metrics = run_eval(state)
+                if log_fn is not None:
+                    log_fn(step, eval_metrics)
+                if (best_ckpt_manager is not None
+                        and eval_metrics["eval_loss"] < best_eval_loss):
+                    best_eval_loss = eval_metrics["eval_loss"]
                     from musicvae_tpu.checkpoints import io as ckpt_io
-                    ckpt_io.save(ckpt_manager, state, cfg)
-                break
+                    ckpt_io.save(best_ckpt_manager, state, cfg)
+                    # crash-safe + single-writer: only process 0 (the same
+                    # process that owns the Orbax commit) writes, atomically
+                    if best_metric_path is not None and jax.process_index() == 0:
+                        _write_json_atomic(best_metric_path,
+                                           {"eval_loss": best_eval_loss,
+                                            "step": step})
+            if (ckpt_manager is not None and cfg.train.ckpt_every > 0
+                    and step % cfg.train.ckpt_every == 0):
+                from musicvae_tpu.checkpoints import io as ckpt_io
+                ckpt_io.save(ckpt_manager, state, cfg)
+            if stop is not None:
+                stop_now = bool(stop.requested)
+                if jax.process_count() > 1:
+                    # collective decision: the save below is a collective op,
+                    # so every process must agree to enter it this dispatch
+                    # even when the scheduler signaled only some of them
+                    from jax.experimental import multihost_utils
+                    stop_now = bool(multihost_utils.process_allgather(
+                        np.int32(stop_now)).max())
+                if stop_now:
+                    if ckpt_manager is not None and (
+                            cfg.train.ckpt_every <= 0
+                            or step % cfg.train.ckpt_every != 0):
+                        from musicvae_tpu.checkpoints import io as ckpt_io
+                        ckpt_io.save(ckpt_manager, state, cfg)
+                    break
+    finally:
+        if not resident:
+            # release a producer blocked on a full queue (early
+            # exit via preemption stop or any exception) — see
+            # producer_quit above
+            producer_quit.set()
     return model, state, metrics

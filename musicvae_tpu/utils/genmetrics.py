@@ -18,6 +18,11 @@ on both sides of every comparison, so divergences are unbiased.
 Host-side numpy by design: stats run on already-pulled generation output
 (the CLI pulls bars for MIDI export anyway) and on memory-mapped dataset
 caches; everything is vectorized (no per-note Python loops).
+
+Note: midi/labels.py has its own (jax, unnormalized, P=128) pitch-class
+fold for on-device label inference; this module's is normalized and
+generic-P for host-side statistics. If pitch-class semantics ever change
+(e.g. a pitch_lo offset), change BOTH.
 """
 
 from __future__ import annotations

@@ -1137,3 +1137,54 @@ def test_train_midi_glob_and_missing_data_error(tmp_path, capsys):
                "--log-dir", str(tmp_path / "l3")])
     assert rc == 2
     assert "no MIDI files" in capsys.readouterr().err
+
+
+def test_resume_cosine_lr_without_reflags(tmp_path, capsys):
+    """A run trained with --lr-schedule cosine must resume WITHOUT the
+    flag re-passed: the restore template must come from the CHECKPOINT's
+    config (review finding: a CLI-side template lacked the schedule's
+    step-count leaf, making every step unrestorable), and changing the
+    schedule on resume is refused (the optimizer-state structure
+    differs)."""
+    out = str(tmp_path / "d.npz")
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--synthetic-pieces", "2", "--out", out]) == 0
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "2", "--lr-schedule", "cosine",
+                 "--lr-warmup-steps", "1",
+                 "--ckpt-dir", str(tmp_path / "c"),
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    capsys.readouterr()
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--resume", "--steps", "4",
+                 "--ckpt-dir", str(tmp_path / "c"),
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    err = capsys.readouterr().err
+    assert "resumed from step 2" in err
+
+    rc = main(["train", "--config", "c1_conv_bar", "--data", out,
+               "--resume", "--steps", "6", "--lr-schedule", "constant",
+               "--ckpt-dir", str(tmp_path / "c"),
+               "--log-dir", str(tmp_path / "l")])
+    assert rc == 2
+    assert "cannot change --lr-schedule on resume" in capsys.readouterr().err
+
+
+def test_fresh_train_refuses_dir_with_checkpoints(tmp_path, capsys):
+    """Starting a run WITHOUT --resume into a dir that already holds
+    checkpoints is refused: Orbax silently skips saves at steps <= the
+    existing latest, so the new run's work would be unsaveable (review
+    finding: the preemption message would then claim a save that never
+    happened)."""
+    out = str(tmp_path / "d.npz")
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--synthetic-pieces", "2", "--out", out]) == 0
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "2", "--ckpt-dir", str(tmp_path / "c"),
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    capsys.readouterr()
+    rc = main(["train", "--config", "c1_conv_bar", "--data", out,
+               "--steps", "4", "--ckpt-dir", str(tmp_path / "c"),
+               "--log-dir", str(tmp_path / "l2")])
+    assert rc == 2
+    assert "pass --resume" in capsys.readouterr().err

@@ -354,3 +354,44 @@ def test_streaming_rejects_non_binary_rolls(ds):
 
     with _pytest.raises(ValueError, match="binary"):
         train(cfg, soft_iter())
+
+
+def test_pick_k_treats_nonpositive_cadences_as_off():
+    """log/ckpt cadences of 0 mean 'off' (matching eval_every): they don't
+    constrain k and the train loop must not crash on `step % 0` (review
+    finding: the new --log-every/--ckpt-every 0 flags died mid-run)."""
+    from musicvae_tpu.train.trainer import pick_k
+
+    assert pick_k(tiny(C1_CONV_BAR, log_every=0, ckpt_every=0),
+                  do_eval=False) == 100
+    assert pick_k(tiny(C1_CONV_BAR, log_every=0, ckpt_every=30),
+                  do_eval=False) == 30
+    assert pick_k(tiny(C1_CONV_BAR, log_every=40, ckpt_every=0),
+                  do_eval=False) == 40
+    cfg = tiny(C1_CONV_BAR, log_every=0, ckpt_every=0, eval_every=60)
+    assert pick_k(cfg, do_eval=True) == 60
+
+
+def test_train_runs_with_all_cadences_off(ds, tmp_path):
+    """num_steps with log/ckpt cadence 0: no crash, no periodic saves, and
+    a preemption stop still checkpoints the interrupted step."""
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.train import GracefulStop, train
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR, num_steps=6, log_every=0,
+                            ckpt_every=0))
+    manager = checkpoints.make_manager(str(tmp_path / "c"), 2)
+    logged = []
+    _, state, _ = train(cfg, ds, ckpt_manager=manager,
+                        log_fn=lambda s, m: logged.append(s))
+    manager.wait_until_finished()
+    assert int(state.step) == 6
+    assert logged == []                       # log cadence off
+    assert manager.all_steps() == []          # periodic saves off
+
+    stop = GracefulStop()
+    stop.requested = True
+    _, state, _ = train(cfg, ds, ckpt_manager=manager, stop=stop)
+    manager.wait_until_finished()
+    # stopped after the first dispatch, and ckpt_every=0 still saved it
+    assert int(state.step) in manager.all_steps()
