@@ -29,6 +29,11 @@ boundaries):
 - desync:    process 1 deliberately perturbs its local corpus; the
              startup cross-process hash guard must fail fast on EVERY
              process (prints {"desync_caught": true}).
+- preempt:   ONLY process 1 has its GracefulStop flag set (a scheduler
+             that signals one host); the per-dispatch collective stop
+             decision must stop BOTH processes at the same dispatch edge
+             and enter the collective checkpoint save together (a
+             one-sided stop would wedge in mismatched collectives).
 """
 
 import json
@@ -77,6 +82,38 @@ def main() -> int:
         cfg.model.num_bars)
     mesh = make_mesh(cfg.mesh)
     assert mesh.devices.size == 8
+
+    if mode == "preempt":
+        import shutil
+        import tempfile
+
+        from musicvae_tpu import checkpoints
+        from musicvae_tpu.train import GracefulStop
+
+        # one SHARED dir for the collective Orbax save (same machine);
+        # proc 0 cleans any previous run's leftovers, with a barrier so
+        # no other process creates the manager into a dir mid-removal
+        ckpt_dir = os.path.join(
+            tempfile.gettempdir(),
+            "mvae_mp_preempt_" + coordinator.replace(":", "_"))
+        if proc_id == 0:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
+        if num_procs > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("mvae_preempt_cleanup")
+        stop = GracefulStop()              # flag-driven, no signals
+        stop.requested = proc_id == 1      # only ONE host is "signaled"
+        manager = checkpoints.make_manager(ckpt_dir, keep=2)
+        _, state, metrics = train(cfg, ds, mesh=mesh,
+                                  ckpt_manager=manager, stop=stop)
+        manager.wait_until_finished()
+        print(json.dumps({
+            "proc": proc_id,
+            "step": int(jax.device_get(state.step)),
+            "saved_steps": sorted(int(s) for s in manager.all_steps()),
+            "loss": float(jax.device_get(metrics["loss"])),
+        }), flush=True)
+        return 0
 
     if mode == "desync":
         if proc_id == 1:

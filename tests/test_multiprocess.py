@@ -145,3 +145,24 @@ def test_desynced_host_data_fails_fast():
     except (AssertionError, subprocess.TimeoutExpired):
         res = _run(2, f"127.0.0.1:{_free_port()}", mode="desync")
     assert all(r["desync_caught"] for r in res), res
+
+
+@pytest.mark.slow
+def test_two_process_preemption_stops_collectively():
+    """A preemption signal delivered to ONLY one host (worker proc 1 has
+    its GracefulStop flag set; proc 0 does not) must stop BOTH processes
+    at the same dispatch edge via the per-dispatch collective decision,
+    and both must enter the collective checkpoint save together — a
+    one-sided stop would wedge the job in mismatched collectives.
+
+    One retry for the known under-load jax.distributed startup timeout
+    (see test_desynced_host_data_fails_fast)."""
+    try:
+        res = _run(2, f"127.0.0.1:{_free_port()}", mode="preempt")
+    except (AssertionError, subprocess.TimeoutExpired):
+        res = _run(2, f"127.0.0.1:{_free_port()}", mode="preempt")
+    # k = gcd(log_every=2, ckpt_every=6) = 2: both stop after dispatch 1
+    assert res[0]["step"] == res[1]["step"] == 2, res
+    # the interrupted (non-cadence) step was checkpointed, seen by both
+    assert res[0]["saved_steps"] == res[1]["saved_steps"] == [2], res
+    np.testing.assert_allclose(res[0]["loss"], res[1]["loss"], rtol=0)
