@@ -1471,7 +1471,8 @@ def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
     batcher = _Batcher(runner) if runner is not None else None
     device_lock = threading.Lock()
     state_lock = threading.Lock()
-    counts = {"served": 0, "errors": 0, "requests": 0, "t0": None}
+    counts = {"served": 0, "errors": 0, "requests": 0, "t0": None,
+              "inflight": 0}
     t_start = time.perf_counter()
 
     class Handler(socketserver.StreamRequestHandler):
@@ -1482,89 +1483,122 @@ def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
                 line = raw.decode("utf-8", errors="replace").strip()
                 if not line:
                     continue
-                rid = None
+                with state_lock:
+                    counts["inflight"] += 1
                 try:
-                    req = json.loads(line)
-                    rid = req.get("id")
-                    _check_cmd(req)     # unknown cmd: in-band error, not
-                    if req.get("cmd") in ("stats", "reload"):  # a sweep
-                        if req["cmd"] == "stats":
-                            with state_lock:
-                                resp = _stats_response(
-                                    rid, cfg, store, counts["served"],
-                                    counts["errors"], counts["requests"],
-                                    t_start)
+                    rid = None
+                    try:
+                        req = json.loads(line)
+                        rid = req.get("id")
+                        _check_cmd(req)     # unknown cmd: in-band error, not
+                        if req.get("cmd") in ("stats", "reload"):  # a sweep
+                            if req["cmd"] == "stats":
+                                with state_lock:
+                                    resp = _stats_response(
+                                        rid, cfg, store, counts["served"],
+                                        counts["errors"], counts["requests"],
+                                        t_start)
+                            else:
+                                resp = {"id": rid, "reloaded": reload_once(),
+                                        "step": store["step"]}
+                            try:
+                                self.wfile.write(
+                                    (json.dumps(resp) + "\n").encode())
+                                self.wfile.flush()
+                            except (BrokenPipeError, ConnectionResetError):
+                                return
+                            continue            # not a generation request
+                        with state_lock:
+                            default_seed = counts["requests"]
+                            counts["requests"] += 1
+                            if counts["t0"] is None:
+                                counts["t0"] = time.perf_counter()
+                        seed = int(req.get("seed", default_seed))
+                        if batcher is not None:
+                            arrays = request_arrays(req, seed)
+                            t_req = time.perf_counter()
+                            bars = batcher.submit(seed, arrays).result()
                         else:
-                            resp = {"id": rid, "reloaded": reload_once(),
-                                    "step": store["step"]}
-                        try:
-                            self.wfile.write(
-                                (json.dumps(resp) + "\n").encode())
-                            self.wfile.flush()
-                        except (BrokenPipeError, ConnectionResetError):
+                            kw = request_kwargs(req, seed)
+                            t_req = time.perf_counter()
+                            with device_lock:    # one in-flight sweep+pull
+                                bars = to_host(
+                                    dispatch(store["params"],
+                                             jax.random.key(seed), **kw))
+                        # encode outside the lock: overlaps other clients'
+                        # device sweeps (see docstring)
+                        resp = _gen_response(rid, bars, cfg, t_req)
+                        with state_lock:
+                            counts["served"] += 1
+                    except Exception as e:       # in-band, per-request errors
+                        resp = {"id": rid,
+                                "error": f"{type(e).__name__}: {e}"}
+                        with state_lock:
+                            counts["errors"] += 1
+                    write_failed = False
+                    try:
+                        self.wfile.write((json.dumps(resp) + "\n").encode())
+                        self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        write_failed = True      # client went away mid-reply
+                    # the shutdown check runs even when the reply could not
+                    # be written: the request WAS served/counted, and a
+                    # --max-requests service whose last client vanished
+                    # mid-reply must still exit (the load harness bounds its
+                    # wait on exactly this)
+                    if args.max_requests:
+                        with state_lock:
+                            done = (counts["served"] + counts["errors"]
+                                    >= args.max_requests)
+                        if done:
+                            threading.Thread(target=server.shutdown,
+                                             daemon=True).start()
                             return
-                        continue            # not a generation request
-                    with state_lock:
-                        default_seed = counts["requests"]
-                        counts["requests"] += 1
-                        if counts["t0"] is None:
-                            counts["t0"] = time.perf_counter()
-                    seed = int(req.get("seed", default_seed))
-                    if batcher is not None:
-                        arrays = request_arrays(req, seed)
-                        t_req = time.perf_counter()
-                        bars = batcher.submit(seed, arrays).result()
-                    else:
-                        kw = request_kwargs(req, seed)
-                        t_req = time.perf_counter()
-                        with device_lock:    # one in-flight sweep+pull
-                            bars = to_host(
-                                dispatch(store["params"],
-                                         jax.random.key(seed), **kw))
-                    # encode outside the lock: overlaps other clients'
-                    # device sweeps (see docstring)
-                    resp = _gen_response(rid, bars, cfg, t_req)
-                    with state_lock:
-                        counts["served"] += 1
-                except Exception as e:       # in-band, per-request errors
-                    resp = {"id": rid,
-                            "error": f"{type(e).__name__}: {e}"}
-                    with state_lock:
-                        counts["errors"] += 1
-                write_failed = False
-                try:
-                    self.wfile.write((json.dumps(resp) + "\n").encode())
-                    self.wfile.flush()
-                except (BrokenPipeError, ConnectionResetError):
-                    write_failed = True      # client went away mid-reply
-                # the shutdown check runs even when the reply could not
-                # be written: the request WAS served/counted, and a
-                # --max-requests service whose last client vanished
-                # mid-reply must still exit (the load harness bounds its
-                # wait on exactly this)
-                if args.max_requests:
-                    with state_lock:
-                        done = (counts["served"] + counts["errors"]
-                                >= args.max_requests)
-                    if done:
-                        threading.Thread(target=server.shutdown,
-                                         daemon=True).start()
+                    if write_failed:
                         return
-                if write_failed:
-                    return
+                finally:
+                    with state_lock:
+                        counts["inflight"] -= 1
 
     class Server(socketserver.ThreadingTCPServer):
         allow_reuse_address = True
         daemon_threads = True
 
-    with Server((args.host, args.port), Handler) as server:
+    # SIGTERM/SIGINT → graceful shutdown: stop accepting, finish in-flight
+    # requests (handler threads are daemons, so without the drain a
+    # mid-sweep request would be killed with the process), then summarize.
+    # A second signal escalates via the original handler (GracefulStop).
+    from musicvae_tpu.train import GracefulStop
+    closed = threading.Event()
+    with Server((args.host, args.port), Handler) as server, \
+            GracefulStop() as stop_sig:
         host, port = server.server_address[:2]
         print(f"{banner}; listening on {host}:{port}", file=sys.stderr)
+
+        def _watch_signals():
+            while not closed.is_set():
+                if stop_sig.requested:
+                    server.shutdown()
+                    return
+                time.sleep(0.1)
+
+        threading.Thread(target=_watch_signals, daemon=True,
+                         name="mvae-serve-sigwatch").start()
         try:
             server.serve_forever(poll_interval=0.1)
         except KeyboardInterrupt:
             pass
         finally:
+            closed.set()
+            if stop_sig.requested:
+                deadline = time.time() + 30.0
+                while time.time() < deadline:
+                    with state_lock:
+                        if counts["inflight"] == 0:
+                            break
+                    time.sleep(0.05)
+                print("shutdown signal: in-flight requests drained",
+                      file=sys.stderr)
             if batcher is not None:
                 batcher.stop()
     dt = (time.perf_counter() - counts["t0"]) \

@@ -1188,3 +1188,59 @@ def test_fresh_train_refuses_dir_with_checkpoints(tmp_path, capsys):
                "--log-dir", str(tmp_path / "l2")])
     assert rc == 2
     assert "pass --resume" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_serve_socket_sigterm_graceful(tmp_path):
+    """SIGTERM to a TCP serve process: answered requests are honored, the
+    server drains and exits 0 with the served-count summary (not a
+    mid-request kill)."""
+    import json
+    import signal
+    import socket
+    import subprocess
+    import sys as _sys
+    import time
+
+    ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                        os.pardir))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo, env.get("PYTHONPATH", "")) if p)
+    proc = subprocess.Popen(
+        [_sys.executable, "-u", "-m", "musicvae_tpu", "serve",
+         "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+         "--bars", "2", "--samples", "1", "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, cwd=repo,
+        text=True)
+    try:
+        deadline = time.time() + 300       # startup compile
+        while True:
+            try:
+                conn = socket.create_connection(("127.0.0.1", port),
+                                                timeout=5)
+                break
+            except OSError:
+                assert proc.poll() is None, proc.communicate()[1][-3000:]
+                assert time.time() < deadline, "serve never listened"
+                time.sleep(0.2)
+        with conn:
+            conn.sendall((json.dumps({"id": 1, "seed": 0}) + "\n")
+                         .encode())
+            resp = json.loads(conn.makefile("r").readline())
+        assert resp["id"] == 1 and "midi_b64" in resp, resp
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, err[-3000:]
+    assert "in-flight requests drained" in err
+    assert "served 1 requests, 0 errors" in err
