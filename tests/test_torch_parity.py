@@ -159,3 +159,52 @@ def test_convert_no_prev_bar_roundtrip():
         assert str(pa) == str(pb)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
                                    atol=1e-6)
+
+
+def test_grad_parity_same_weights_c1():
+    """Cross-framework TRAINING parity: d(ELBO)/d(params) agrees between
+    the torch oracle and the flax model under converter-shared weights —
+    reference checkpoints are not just loadable but trainable with
+    equivalent dynamics. Conv config: every weight mapping is an
+    invertible transpose/reshape, so the converter maps gradients the
+    same way it maps weights (the GRU configs fold torch's redundant
+    r/z hidden biases into one flax bias, which is weight-lossless but
+    not gradient-invertible — conv is the clean case)."""
+    cfg = CASES["c1"]
+    torch.manual_seed(0)
+    oracle = OracleVAE(cfg)
+    flax_params = torch_state_dict_to_flax(oracle.state_dict(), cfg)
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(1)
+    b = 4
+    x = (rng.random((b, 1, 96, 128)) < 0.05).astype(np.float32)
+    e = rng.standard_normal((b, cfg.model.z_dim)).astype(np.float32)
+    mask = pitch_mask(cfg.midi)
+    mask_t = torch.tensor(np.asarray(mask, np.float32))
+
+    logits_t, latents_t = oracle(torch.tensor(x), torch.tensor(e))
+    loss_t, _, _ = oracle_elbo(logits_t, torch.tensor(x), mask_t,
+                               latents_t, 1.0)
+    loss_t.backward()
+    tgrads = {k: p.grad.detach().numpy()
+              for k, p in oracle.named_parameters() if p.grad is not None}
+
+    def loss_f(params):
+        logits, latents = model.apply({"params": params}, jnp.asarray(x),
+                                      eps=(jnp.asarray(e),))
+        recon = losses.masked_bce_sum(logits, jnp.asarray(x), mask) / b
+        kl = sum(losses.kl_diag_gaussian(mu, lv)
+                 for mu, lv in latents) / b
+        return recon + kl
+
+    fgrads = jax.grad(loss_f)(flax_params)
+    mapped = flax_params_to_torch_state_dict(fgrads, cfg)
+
+    assert set(mapped) == set(tgrads)
+    for name in sorted(tgrads):
+        np.testing.assert_allclose(
+            mapped[name].numpy() if hasattr(mapped[name], "numpy")
+            else np.asarray(mapped[name]),
+            tgrads[name], rtol=5e-4, atol=5e-5,
+            err_msg=f"gradient mismatch for {name}")
