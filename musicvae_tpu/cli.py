@@ -361,10 +361,19 @@ def cmd_eval_gen(args) -> int:
     result = {"samples": int(bars.shape[0]),
               "bars_per_sample": int(bars.shape[1]),
               "gen": to_jsonable(gstats)}
+    ref_ds = None
     if args.data:
         from musicvae_tpu.data import PianoRollDataset
-        ds = PianoRollDataset.load_npy(args.data)
-        rstats = bar_stats(np.asarray(ds.bars))
+        ref_ds = PianoRollDataset.load_npy(args.data)
+    elif args.midi_glob:
+        from musicvae_tpu.data import PianoRollDataset
+        pieces, rc = _read_midi_corpus(args.midi_glob)
+        if rc:
+            return rc
+        ref_ds = PianoRollDataset.from_corpus(pieces, cfg.midi,
+                                              cfg.model.num_bars)
+    if ref_ds is not None:
+        rstats = bar_stats(np.asarray(ref_ds.bars))
         result["ref"] = to_jsonable(rstats)
         result["compare"] = to_jsonable(compare_stats(gstats, rstats))
     print(json.dumps(result))
@@ -1717,6 +1726,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--data", default=None,
                    help="npz cache from preprocess — the reference corpus "
                         "the generations are compared against")
+    p.add_argument("--midi-glob", default=None,
+                   help="compare against .mid files directly (tensorized "
+                        "in-process); --data takes precedence")
     p.add_argument("--bars", type=int, default=16)
     p.add_argument("--samples", type=int, default=64)
     p.add_argument("--interpolate", action="store_true")

@@ -126,3 +126,20 @@ def test_cli_eval_gen_smoke(tmp_path, capsys):
         assert section in result
     assert 0.0 <= result["compare"]["js_pitch_class"] <= np.log(2.0) + 1e-9
     assert set(SCALAR_KEYS) <= set(result["gen"])
+
+
+def test_cli_eval_gen_midi_glob_reference(tmp_path, capsys):
+    """eval-gen can take the reference corpus as raw .mid files."""
+    from musicvae_tpu.cli import main
+    from musicvae_tpu.data import synth_corpus
+
+    for i, (midi, _, _) in enumerate(synth_corpus(2, n_bars=6, seed=4)):
+        (tmp_path / f"p{i}.mid").write_bytes(midi)
+    rc = main(["eval-gen", "--config", "c1_conv_bar",
+               "--midi-glob", str(tmp_path / "*.mid"),
+               "--samples", "2", "--bars", "2",
+               "--ckpt-dir", str(tmp_path / "none")])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "ref" in result and "compare" in result
+    assert result["ref"]["active_cells_per_bar"] > 0
