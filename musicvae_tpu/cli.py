@@ -98,6 +98,7 @@ def cmd_train(args) -> int:
         ("lr_schedule", args.lr_schedule),
         ("lr_warmup_steps", args.lr_warmup_steps),
         ("lr_min_ratio", args.lr_min_ratio),
+        ("ema_decay", args.ema_decay),
         ("eval_every", args.eval_every),
         ("eval_batches", args.eval_batches),
         ("log_every", args.log_every),
@@ -164,6 +165,18 @@ def cmd_train(args) -> int:
                                                         **overrides))
             print(f"resumed with CLI overrides: {overrides}",
                   file=sys.stderr)
+            # EMA toggled across the resume: align the state structure
+            # with the new config (on: start the average at the resume
+            # point; off: drop the stale average)
+            if cfg.train.ema_decay > 0 and state.ema_params is None:
+                # copied — aliased buffers would be donated twice by the
+                # jitted step (see create_state)
+                state = state.replace(ema_params=jax.tree.map(
+                    jax.numpy.copy, state.params))
+                print("ema enabled on resume: average starts at the "
+                      "resumed params", file=sys.stderr)
+            elif cfg.train.ema_decay <= 0 and state.ema_params is not None:
+                state = state.replace(ema_params=None)
         # report the step actually restored — after a corrupt-latest
         # fallback this differs from what latest_step() claimed pre-restore
         print(f"resumed from step {int(jax.device_get(state.step))}",
@@ -317,7 +330,9 @@ def _load_gen_state(args, gen, what: str):
     """(cfg, model, state) from --ckpt-dir with ``gen`` applied; the
     checkpoint's config wins over --config (with a note), and a missing
     checkpoint falls back to a random init of --config with a warning.
-    One load path shared by generate and eval-gen."""
+    With ``args.ema`` the state's EMA weights replace params (error if
+    the run was not trained with --ema-decay). One load path shared by
+    generate and eval-gen."""
     from musicvae_tpu import checkpoints
     from musicvae_tpu.config import get_config
     from musicvae_tpu.train import create_state
@@ -335,6 +350,14 @@ def _load_gen_state(args, gen, what: str):
         model, state = create_state(cfg)
         print(f"warning: no checkpoint found, {what} from random init",
               file=sys.stderr)
+    if getattr(args, "ema", False):
+        if state.ema_params is None:
+            print("error: --ema needs a checkpoint trained with "
+                  "--ema-decay > 0 (this one has no EMA weights)",
+                  file=sys.stderr)
+            return None                      # caller returns rc 2
+        state = state.replace(params=state.ema_params)
+        print("using EMA weights", file=sys.stderr)
     return cfg, model, state
 
 
@@ -350,8 +373,11 @@ def cmd_eval_gen(args) -> int:
     from musicvae_tpu.utils.genmetrics import (bar_stats, compare_stats,
                                                to_jsonable)
 
-    cfg, model, state = _load_gen_state(args, _gen_spec_from_args(args),
-                                        what="scoring")
+    loaded = _load_gen_state(args, _gen_spec_from_args(args),
+                             what="scoring")
+    if loaded is None:
+        return 2
+    cfg, model, state = loaded
     mesh = make_mesh(cfg.mesh)
     params = jax.device_put(state.params, replicated(mesh))
     dispatch, to_host = _make_packed_gen(make_generate_fn(cfg, model,
@@ -384,8 +410,11 @@ def cmd_generate(args) -> int:
     import jax
     from musicvae_tpu.generate import bars_to_midi, make_generate_fn
 
-    cfg, model, state = _load_gen_state(args, _gen_spec_from_args(args),
-                                        what="generating")
+    loaded = _load_gen_state(args, _gen_spec_from_args(args),
+                             what="generating")
+    if loaded is None:
+        return 2
+    cfg, model, state = loaded
     from musicvae_tpu.parallel import make_mesh, replicated
     mesh = make_mesh(cfg.mesh)
     params = jax.device_put(state.params, replicated(mesh))
@@ -1670,6 +1699,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="linear lr warmup steps before the cosine decay")
     p.add_argument("--lr-min-ratio", type=float, default=None,
                    help="cosine floor as a fraction of --lr (default 0)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="maintain exponential-moving-average weights with "
+                        "this decay (e.g. 0.999; 0 = off, the config "
+                        "default). Checkpointed; sample them with "
+                        "generate/eval-gen --ema")
     p.add_argument("--eval-every", type=int, default=None,
                    help="run held-out eval every N steps (0 = off); the "
                         "best state by eval loss is kept in "
@@ -1737,6 +1771,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    default="threshold")
     p.add_argument("--sample-temperature", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ema", action="store_true",
+                   help="score the checkpoint's EMA weights "
+                        "(requires training with --ema-decay)")
     p.set_defaults(fn=cmd_eval_gen)
 
     p = sub.add_parser("generate", help="bar-by-bar autoregressive sampling")
@@ -1759,6 +1796,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="conditional models: key class 0..23, "
                         "default random per sample")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ema", action="store_true",
+                   help="sample from the checkpoint's EMA weights "
+                        "(requires training with --ema-decay)")
     p.add_argument("--seed-midi", default=None,
                    help="continue from real music: the file's last bar "
                         "seeds the prev-bar conditioning (SURVEY §3.3 "

@@ -98,6 +98,13 @@ class TrainSpec:
     lr_schedule: str = "constant"
     lr_warmup_steps: int = 0
     lr_min_ratio: float = 0.0
+    # Exponential-moving-average weights (0 disables — reference
+    # behavior). When > 0 (e.g. 0.999) the train step maintains
+    # ema = decay*ema + (1-decay)*params in TrainState (checkpointed, so
+    # resume is bit-exact); generate/eval-gen can sample from the
+    # smoothed weights via --ema. EMA-off states keep the exact old
+    # pytree structure (the field is an empty None node).
+    ema_decay: float = 0.0
     num_steps: int = 10000
     log_every: int = 100
     ckpt_every: int = 1000

@@ -34,6 +34,10 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     step: jax.Array          # int32 scalar
     rng: jax.Array           # PRNG key, split on-device each step
+    # exponential moving average of params (TrainSpec.ema_decay > 0);
+    # None when disabled — None is an empty pytree node, so states and
+    # checkpoints from EMA-off runs keep their exact old structure
+    ema_params: Any = None
 
 
 def make_lr(cfg: Config):
@@ -83,6 +87,11 @@ def create_state(cfg: Config, rng: Optional[jax.Array] = None
         opt_state=opt.init(params),
         step=jnp.zeros((), jnp.int32),
         rng=loop_rng,
+        # EMA starts AT the init point (no zero-init debiasing needed);
+        # COPIED: aliasing params' buffers would make the donated jitted
+        # step donate the same buffer twice
+        ema_params=(jax.tree.map(jnp.copy, params)
+                    if cfg.train.ema_decay > 0 else None),
     )
 
 
@@ -231,8 +240,16 @@ def _train_step_body(cfg: Config, model, opt,
         # debugging via utils.debug.debug_mode(nans=True).
         metrics["nonfinite"] = 1.0 - jnp.isfinite(metrics["loss"]).astype(
             jnp.float32)
+        new_ema = state.ema_params
+        if t.ema_decay > 0:
+            # plain EMA from the init point; a pure function of the param
+            # trajectory, carried in TrainState so resume is bit-exact
+            new_ema = jax.tree.map(
+                lambda ema, p: ema * t.ema_decay + p * (1.0 - t.ema_decay),
+                state.ema_params, new_params)
         new_state = state.replace(params=new_params, opt_state=new_opt,
-                                  step=state.step + 1, rng=next_rng)
+                                  step=state.step + 1, rng=next_rng,
+                                  ema_params=new_ema)
         return new_state, metrics
 
     return train_step
