@@ -882,13 +882,19 @@ def cmd_serve(args) -> int:
     cfg = checkpoints.restore_config(manager).replace(gen=gen_spec)
     model, state = create_state(cfg)
     state, _ = checkpoints.restore(manager, state)
+    if args.ema and state.ema_params is None:
+        print("error: --ema needs a checkpoint trained with "
+              "--ema-decay > 0 (this one has no EMA weights)",
+              file=sys.stderr)
+        return 2
+    serving_params = state.ema_params if args.ema else state.params
     from musicvae_tpu.parallel import make_mesh, replicated
     mesh = make_mesh(cfg.mesh)
     # params live in a mutable store so the reload watcher (below) can
     # hot-swap them: same pytree structure/shapes → the compiled programs
     # keep serving with ZERO retracing, in-flight dispatches keep the
     # params object they were called with (swap is GIL-atomic)
-    store = {"params": jax.device_put(state.params, replicated(mesh)),
+    store = {"params": jax.device_put(serving_params, replicated(mesh)),
              "step": int(jax.device_get(state.step))}
     gen = make_generate_fn(cfg, model, mesh=mesh)
 
@@ -995,7 +1001,10 @@ def cmd_serve(args) -> int:
     if args.coalesce > 1:
         banner += f", coalescing up to {args.coalesce} requests/dispatch"
 
-    reload_once = _make_reload_once(manager, state, mesh, store)
+    if args.ema:
+        banner += ", EMA weights"
+    reload_once = _make_reload_once(manager, state, mesh, store,
+                                    use_ema=args.ema)
     stop_reload = threading.Event()
     if args.reload_every > 0:
         _start_reload_watcher(args.reload_every, reload_once, stop_reload)
@@ -1404,7 +1413,8 @@ def _serve_stdin_coalesced(args, cfg, runner, request_arrays,
     return 0
 
 
-def _make_reload_once(manager, template_state, mesh, store):
+def _make_reload_once(manager, template_state, mesh, store,
+                      use_ema: bool = False):
     """Hot checkpoint reload for serve: returns ``reload_once() ->
     Optional[int]`` which checks the checkpoint directory and, if a
     newer step exists, swaps its params into the shared ``store`` (and
@@ -1440,7 +1450,13 @@ def _make_reload_once(manager, template_state, mesh, store):
                 return None
             new_state, _ = checkpoints.restore(manager, template,
                                                step=latest)  # strict
-            store["params"] = jax.device_put(new_state.params,
+            new_params = (new_state.ema_params if use_ema
+                          else new_state.params)
+            if new_params is None:
+                raise ValueError(
+                    f"step {latest} carries no EMA weights but the "
+                    f"service was started with --ema")
+            store["params"] = jax.device_put(new_params,
                                              replicated(mesh))
             store["step"] = latest
             print(f"reloaded checkpoint step {latest}", file=sys.stderr)
@@ -1866,6 +1882,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="also pre-compile the seeded-request "
                         "(seed_midi_b64) program at startup so no request "
                         "ever waits on a compile")
+    p.add_argument("--ema", action="store_true",
+                   help="serve the checkpoint's EMA weights (requires "
+                        "training with --ema-decay; hot reloads keep "
+                        "pulling the EMA side)")
     p.add_argument("--pipeline", action="store_true",
                    help="stdin mode: overlap device compute with host "
                         "MIDI encoding under load (measured slightly "

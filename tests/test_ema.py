@@ -128,3 +128,49 @@ def test_cli_ema_train_generate_and_errors(tmp_path, capsys):
                  "--ckpt-dir", str(tmp_path / "c2"),
                  "--log-dir", str(tmp_path / "l2")]) == 0
     assert "ema enabled on resume" in capsys.readouterr().err
+
+
+def test_cli_serve_ema(tmp_path, capsys, monkeypatch):
+    """serve --ema serves the EMA weights: same-seed responses differ
+    from the raw-params service (the averages lag the params after a
+    training step), and an EMA-less checkpoint is a clean rc-2 error."""
+    import io
+    import json
+
+    from musicvae_tpu.cli import main
+
+    out = str(tmp_path / "d.npz")
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--synthetic-pieces", "2", "--out", out]) == 0
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "2", "--ema-decay", "0.5",
+                 "--ckpt-dir", str(tmp_path / "c"),
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    capsys.readouterr()
+
+    def serve(extra):
+        monkeypatch.setattr("sys.stdin",
+                            io.StringIO(json.dumps({"id": 0, "seed": 7})
+                                        + "\n"))
+        assert main(["serve", "--ckpt-dir", str(tmp_path / "c"),
+                     "--bars", "2", "--samples", "1"] + extra) == 0
+        out_text = capsys.readouterr().out
+        return json.loads(out_text.strip().splitlines()[-1])
+
+    raw = serve([])
+    ema = serve(["--ema"])
+    assert "midi_b64" in raw and "midi_b64" in ema
+    # logits differ between raw and averaged weights; densities are the
+    # cheap observable (equal-bytes would mean --ema was ignored)
+    assert raw["midi_b64"] != ema["midi_b64"] or \
+        raw["density"] != ema["density"]
+
+    # EMA-less checkpoint
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "1", "--ckpt-dir", str(tmp_path / "c2"),
+                 "--log-dir", str(tmp_path / "l2")]) == 0
+    capsys.readouterr()
+    rc = main(["serve", "--ckpt-dir", str(tmp_path / "c2"),
+               "--bars", "2", "--samples", "1", "--ema"])
+    assert rc == 2
+    assert "--ema-decay" in capsys.readouterr().err
