@@ -670,6 +670,8 @@ def cmd_describe(args) -> int:
         "roll": f"{cfg.midi.steps_per_bar}x{cfg.midi.num_pitches}",
         "window_bars": cfg.model.num_bars,
         "dtype": cfg.model.dtype,
+        # from the embedded config, not the weights: shape-only inspect
+        "ema": cfg.train.ema_decay > 0,
     }
     best_sidecar = os.path.join(args.ckpt_dir, "best", "best_metric.json")
     if os.path.exists(best_sidecar):
