@@ -516,7 +516,7 @@ def train(cfg: Config,
                 best_eval_loss = float(multihost_utils.broadcast_one_to_all(
                     np.float64(best_eval_loss)))
 
-        def run_eval(cur_state) -> Dict[str, float]:
+        def _eval_params(params, prefix: str) -> Dict[str, float]:
             acc: Dict[str, list] = {}
             for i in range(n_eval_batches):
                 # uint8 rolls: 4x fewer host-link bytes per eval sweep
@@ -527,11 +527,22 @@ def train(cfg: Config,
                                     x_dtype=np.uint8),
                     pmesh.replicated(mesh))
                 em = jax.device_get(
-                    eval_fn(cur_state.params, ebatch, jax.random.key(i)))
+                    eval_fn(params, ebatch, jax.random.key(i)))
                 for mk, mv in em.items():
                     acc.setdefault(mk, []).append(float(mv))
-            return {"eval_" + mk: sum(mv) / len(mv)
+            return {prefix + mk: sum(mv) / len(mv)
                     for mk, mv in acc.items()}
+
+        def run_eval(cur_state) -> Dict[str, float]:
+            out = _eval_params(cur_state.params, "eval_")
+            if cur_state.ema_params is not None:
+                # the smoothed weights are what EMA runs sample from —
+                # score them on the same fixed sweep (eval_ema_* keys);
+                # best-checkpoint selection stays keyed on the raw
+                # eval_loss so the tracked best matches what resume
+                # continues training from
+                out.update(_eval_params(cur_state.ema_params, "eval_ema_"))
+            return out
 
     # K steps per dispatch (host-link jitter amortizes, pick_k) executed
     # per the alignment-aware plan (dispatch_sizes): the same K whether

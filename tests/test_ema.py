@@ -174,3 +174,26 @@ def test_cli_serve_ema(tmp_path, capsys, monkeypatch):
                "--bars", "2", "--samples", "1", "--ema"])
     assert rc == 2
     assert "--ema-decay" in capsys.readouterr().err
+
+
+def test_eval_reports_ema_metrics(tmp_path):
+    """With EMA on and in-training eval enabled, every eval sweep also
+    scores the EMA weights under eval_ema_* keys (raw eval_loss still
+    drives best-checkpoint selection)."""
+    from musicvae_tpu.train import train
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR, ema_decay=0.9, num_steps=4,
+                            log_every=2, ckpt_every=4, eval_every=2,
+                            eval_batches=1))
+    ds = PianoRollDataset.from_corpus(
+        synth_corpus(num_pieces=4, n_bars=6, seed=1), cfg.midi, 1)
+    tr, ev = ds.split(0.3, seed=0)
+    logged = {}
+    train(cfg, tr, eval_data=ev,
+          log_fn=lambda s, m: logged.setdefault(s, {}).update(m))
+    evals = [m for m in logged.values() if "eval_loss" in m]
+    assert evals, logged
+    for m in evals:
+        assert "eval_ema_loss" in m and "eval_ema_f1" in m
+        # both are real numbers from the same sweep
+        assert np.isfinite(m["eval_ema_loss"])
