@@ -1244,3 +1244,61 @@ def test_serve_socket_sigterm_graceful(tmp_path):
     assert proc.returncode == 0, err[-3000:]
     assert "in-flight requests drained" in err
     assert "served 1 requests, 0 errors" in err
+
+
+def test_serve_protocol_fuzz_survives(tmp_path, capsys, monkeypatch):
+    """Protocol fuzz: 60 adversarial stdin lines (binary garbage, wrong
+    JSON types, huge/negative fields, nested junk, unknown cmds) must
+    each produce exactly one in-band line — never a crash, never a
+    silent drop — and a well-formed request afterwards still works."""
+    import io
+    import json
+    import random
+
+    ckpt = _tiny_ckpt(tmp_path, "c1_conv_bar")
+    rng = random.Random(0)
+
+    def junk_value(depth=0):
+        choices = [
+            lambda: rng.randint(-2**40, 2**40),
+            lambda: rng.random() * 1e300,
+            lambda: "x" * rng.randint(0, 50),
+            lambda: None,
+            lambda: [junk_value(depth + 1)] if depth < 2 else [],
+            lambda: {"k": junk_value(depth + 1)} if depth < 2 else {},
+            lambda: True,
+        ]
+        return rng.choice(choices)()
+
+    lines = []
+    for i in range(60):
+        kind = i % 6
+        if kind == 0:
+            lines.append("\x00\xff garbage \x7f")
+        elif kind == 1:
+            lines.append(json.dumps(junk_value()))   # non-dict JSON
+        elif kind == 2:
+            lines.append(json.dumps({"id": i, "seed": junk_value()}))
+        elif kind == 3:
+            lines.append(json.dumps({"id": i, "cmd": "x" * 20}))
+        elif kind == 4:
+            lines.append(json.dumps(
+                {"id": i, "chord": junk_value(), "key": junk_value(),
+                 "seed_midi_b64": junk_value()}))
+        else:
+            lines.append(json.dumps({"id": i, junk_value() if
+                                     isinstance(junk_value(), str) else
+                                     "f": junk_value()}))
+    lines.append(json.dumps({"id": "final", "seed": 1}))
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+    rc = main(["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
+               "--bars", "1", "--samples", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # one response per non-empty line, all parseable JSON
+    assert len(out) == len(lines)
+    parsed = [json.loads(ln) for ln in out]
+    assert all(("error" in p) or ("midi_b64" in p) for p in parsed)
+    final = [p for p in parsed if p.get("id") == "final"]
+    assert final and "midi_b64" in final[0]   # still serving after fuzz
