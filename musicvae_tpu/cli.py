@@ -758,8 +758,16 @@ def cmd_convert(args) -> int:
         cfg = checkpoints.restore_config(mgr)
         _, state = create_state(cfg)
         state, _ = checkpoints.restore(mgr, state)
+        export_params = state.params
+        if getattr(args, "ema", False):
+            if state.ema_params is None:
+                print("error: --ema needs a checkpoint trained with "
+                      "--ema-decay > 0 (this one has no EMA weights)",
+                      file=sys.stderr)
+                return None                  # caller returns rc 2
+            export_params = state.ema_params
         sd = flax_params_to_torch_state_dict(
-            jax.device_get(state.params), cfg)
+            jax.device_get(export_params), cfg)
         return sd, cfg, int(jax.device_get(state.step))
 
     if args.from_torch:
@@ -776,13 +784,19 @@ def cmd_convert(args) -> int:
                        args.from_safetensors)
     elif args.to_torch:
         import torch
-        sd, cfg, step = _export(args.to_torch)
+        exported = _export(args.to_torch)
+        if exported is None:
+            return 2
+        sd, cfg, step = exported
         torch.save(sd, args.out)
         print(f"converted {args.to_torch} (config {cfg.name}, step "
               f"{step}) -> {args.out} ({len(sd)} tensors)")
     else:
         from safetensors.torch import save_file
-        sd, cfg, step = _export(args.to_safetensors)
+        exported = _export(args.to_safetensors)
+        if exported is None:
+            return 2
+        sd, cfg, step = exported
         save_file({k: v.contiguous() for k, v in sd.items()}, args.out,
                   metadata={"config": cfg.name, "step": str(step),
                             "format": "musicvae_tpu/torch-names"})
@@ -1866,6 +1880,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out", required=True,
                    help="destination (ckpt dir for --from-*, file path "
                         "for --to-*)")
+    p.add_argument("--ema", action="store_true",
+                   help="--to-*: export the checkpoint's EMA weights "
+                        "instead of the raw params (requires training "
+                        "with --ema-decay)")
     p.add_argument("--step", type=int, default=0,
                    help="--from-torch: step number for the written "
                         "checkpoint")

@@ -197,3 +197,38 @@ def test_eval_reports_ema_metrics(tmp_path):
         assert "eval_ema_loss" in m and "eval_ema_f1" in m
         # both are real numbers from the same sweep
         assert np.isfinite(m["eval_ema_loss"])
+
+
+def test_cli_convert_exports_ema(tmp_path, capsys):
+    """convert --to-torch --ema exports the averaged weights (differ from
+    the raw export after training); --ema without EMA in the checkpoint
+    is rc 2."""
+    import torch
+
+    from musicvae_tpu.cli import main
+
+    out = str(tmp_path / "d.npz")
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--synthetic-pieces", "2", "--out", out]) == 0
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "2", "--ema-decay", "0.5",
+                 "--ckpt-dir", str(tmp_path / "c"),
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    raw_pt, ema_pt = str(tmp_path / "raw.pt"), str(tmp_path / "ema.pt")
+    assert main(["convert", "--to-torch", str(tmp_path / "c"),
+                 "--out", raw_pt]) == 0
+    assert main(["convert", "--to-torch", str(tmp_path / "c"),
+                 "--out", ema_pt, "--ema"]) == 0
+    raw = torch.load(raw_pt, weights_only=True)
+    ema = torch.load(ema_pt, weights_only=True)
+    assert set(raw) == set(ema)
+    assert any(not torch.equal(raw[k], ema[k]) for k in raw)
+
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "1", "--ckpt-dir", str(tmp_path / "c2"),
+                 "--log-dir", str(tmp_path / "l2")]) == 0
+    capsys.readouterr()
+    rc = main(["convert", "--to-torch", str(tmp_path / "c2"),
+               "--out", str(tmp_path / "x.pt"), "--ema"])
+    assert rc == 2
+    assert "--ema-decay" in capsys.readouterr().err
