@@ -45,6 +45,35 @@ def make_manager(directory: str, keep: int = 3) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(os.path.abspath(directory), options=options)
 
 
+def _state_to_tree(state):
+    """TrainState (or a ShapeDtypeStruct template of one) → the plain
+    key dict Orbax stores. The OPTIONAL ema_params entry appears only
+    when EMA is enabled, so EMA-off states keep the exact pre-EMA
+    4-key on-disk structure — checkpoints written before the field
+    existed restore unchanged, and EMA-off checkpoints written now
+    restore under the old code. (Saving the dataclass directly would
+    record the None field in the tree metadata and break both
+    directions.) Non-TrainState pytrees pass through untouched."""
+    if not hasattr(state, "params"):
+        return state
+    d = {"params": state.params, "opt_state": state.opt_state,
+         "step": state.step, "rng": state.rng}
+    if getattr(state, "ema_params", None) is not None:
+        d["ema_params"] = state.ema_params
+    return d
+
+
+def _tree_to_state(template, tree):
+    """Inverse of _state_to_tree for a TrainState-like template; plain
+    pytrees pass through."""
+    if not hasattr(template, "params"):
+        return tree
+    return template.replace(params=tree["params"],
+                            opt_state=tree["opt_state"],
+                            step=tree["step"], rng=tree["rng"],
+                            ema_params=tree.get("ema_params"))
+
+
 def save(manager: ocp.CheckpointManager, state, cfg: config_lib.Config,
          wait: bool = False) -> bool:
     """Save; returns whether Orbax actually wrote the step. False means
@@ -57,7 +86,7 @@ def save(manager: ocp.CheckpointManager, state, cfg: config_lib.Config,
     saved = manager.save(
         step,
         args=ocp.args.Composite(
-            state=ocp.args.StandardSave(state),
+            state=ocp.args.StandardSave(_state_to_tree(state)),
             config=ocp.args.JsonSave(dataclasses.asdict(cfg)),
         ))
     if wait:
@@ -115,6 +144,7 @@ def restore(manager: ocp.CheckpointManager, abstract_state,
         strict = False
     if not steps:
         raise FileNotFoundError("no checkpoint found")
+    abstract_tree = _state_to_tree(abstract_state)
     last_err: Optional[Exception] = None
     failed: list = []
     for s in steps:
@@ -128,7 +158,7 @@ def restore(manager: ocp.CheckpointManager, abstract_state,
                 restored = manager.restore(
                     s,
                     args=ocp.args.Composite(
-                        state=ocp.args.StandardRestore(abstract_state),
+                        state=ocp.args.StandardRestore(abstract_tree),
                         config=ocp.args.JsonRestore(),
                     ))
                 break
@@ -167,7 +197,7 @@ def restore(manager: ocp.CheckpointManager, abstract_state,
                       f"{failed} ({type(e).__name__}: {e}); saves at "
                       f"steps <= {max(failed)} may be refused until "
                       f"the manager is recreated", file=sys.stderr)
-        return restored["state"], cfg
+        return _tree_to_state(abstract_state, restored["state"]), cfg
     raise RuntimeError(
         f"all checkpoint steps {steps} failed to restore "
         f"(nothing was deleted or quarantined — if this is a config/"

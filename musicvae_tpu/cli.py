@@ -19,6 +19,11 @@ from typing import List, Optional
 
 import numpy as np
 
+# single source for the three --ema CLI guards (generate/eval-gen, convert,
+# serve) so the wording cannot drift
+_EMA_ERROR = ("error: --ema needs a checkpoint trained with "
+              "--ema-decay > 0 (this one has no EMA weights)")
+
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--config", default="c1_conv_bar",
@@ -352,9 +357,7 @@ def _load_gen_state(args, gen, what: str):
               file=sys.stderr)
     if getattr(args, "ema", False):
         if state.ema_params is None:
-            print("error: --ema needs a checkpoint trained with "
-                  "--ema-decay > 0 (this one has no EMA weights)",
-                  file=sys.stderr)
+            print(_EMA_ERROR, file=sys.stderr)
             return None                      # caller returns rc 2
         state = state.replace(params=state.ema_params)
         print("using EMA weights", file=sys.stderr)
@@ -396,8 +399,15 @@ def cmd_eval_gen(args) -> int:
         pieces, rc = _read_midi_corpus(args.midi_glob)
         if rc:
             return rc
-        ref_ds = PianoRollDataset.from_corpus(pieces, cfg.midi,
-                                              cfg.model.num_bars)
+        # bar_stats is bar-level and window-independent: window with
+        # num_bars=1 so reference pieces SHORTER than the model's window
+        # (e.g. 4-bar clips vs a 16-bar hier model) still contribute
+        # every bar instead of crashing on "corpus produced no windows"
+        try:
+            ref_ds = PianoRollDataset.from_corpus(pieces, cfg.midi, 1)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     if ref_ds is not None:
         rstats = bar_stats(np.asarray(ref_ds.bars))
         result["ref"] = to_jsonable(rstats)
@@ -761,9 +771,7 @@ def cmd_convert(args) -> int:
         export_params = state.params
         if getattr(args, "ema", False):
             if state.ema_params is None:
-                print("error: --ema needs a checkpoint trained with "
-                      "--ema-decay > 0 (this one has no EMA weights)",
-                      file=sys.stderr)
+                print(_EMA_ERROR, file=sys.stderr)
                 return None                  # caller returns rc 2
             export_params = state.ema_params
         sd = flax_params_to_torch_state_dict(
@@ -899,9 +907,7 @@ def cmd_serve(args) -> int:
     model, state = create_state(cfg)
     state, _ = checkpoints.restore(manager, state)
     if args.ema and state.ema_params is None:
-        print("error: --ema needs a checkpoint trained with "
-              "--ema-decay > 0 (this one has no EMA weights)",
-              file=sys.stderr)
+        print(_EMA_ERROR, file=sys.stderr)
         return 2
     serving_params = state.ema_params if args.ema else state.params
     from musicvae_tpu.parallel import make_mesh, replicated
@@ -1457,6 +1463,8 @@ def _make_reload_once(manager, template_state, mesh, store,
     # params + optimizer moments in memory for the service's lifetime
     template = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template_state)
+    param_shapes = jax.tree.map(lambda x: (x.shape, str(x.dtype)),
+                                template.params)
 
     def reload_once():
         with lock:
@@ -1464,14 +1472,30 @@ def _make_reload_once(manager, template_state, mesh, store,
             latest = manager.latest_step()
             if latest is None or latest <= store["step"]:
                 return None
-            new_state, _ = checkpoints.restore(manager, template,
+            # the new step's config decides the state STRUCTURE (EMA
+            # leaves, optimizer-schedule counters): precheck + rebuild
+            # the abstract template from it, so training toggling
+            # --ema-decay/--lr-schedule between saves surfaces a crafted
+            # error (or just works) instead of a generic Orbax
+            # structure-mismatch retried forever
+            cfg_new = checkpoints.restore_config(manager, step=latest)
+            if use_ema and cfg_new.train.ema_decay <= 0:
+                raise ValueError(
+                    f"step {latest} carries no EMA weights but the "
+                    f"service was started with --ema; retrain with "
+                    f"--ema-decay or restart the service without --ema")
+            from musicvae_tpu.train import create_state
+            tmpl_new = jax.eval_shape(lambda: create_state(cfg_new)[1])
+            if jax.tree.map(lambda x: (x.shape, str(x.dtype)),
+                            tmpl_new.params) != param_shapes:
+                raise ValueError(
+                    f"step {latest} was trained with a different model "
+                    f"structure than this service compiled for; restart "
+                    f"the service on the new checkpoint")
+            new_state, _ = checkpoints.restore(manager, tmpl_new,
                                                step=latest)  # strict
             new_params = (new_state.ema_params if use_ema
                           else new_state.params)
-            if new_params is None:
-                raise ValueError(
-                    f"step {latest} carries no EMA weights but the "
-                    f"service was started with --ema")
             store["params"] = jax.device_put(new_params,
                                              replicated(mesh))
             store["step"] = latest
@@ -1543,11 +1567,18 @@ def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
     state_lock = threading.Lock()
     counts = {"served": 0, "errors": 0, "requests": 0, "t0": None,
               "inflight": 0}
+    # graceful-shutdown barrier: once set, handler threads stop picking
+    # up new lines (already-ACCEPTED work finishes; buffered-but-unread
+    # lines are refused by closing the connection — standard drain
+    # semantics, the client sees EOF and can retry)
+    draining = threading.Event()
     t_start = time.perf_counter()
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
             for raw in self.rfile:
+                if draining.is_set():
+                    return
                 # undecodable bytes fall through to json.loads, which
                 # reports them in-band like any other malformed request
                 line = raw.decode("utf-8", errors="replace").strip()
@@ -1661,14 +1692,31 @@ def _serve_socket(args, cfg, dispatch, to_host, store, request_kwargs,
         finally:
             closed.set()
             if stop_sig.requested:
+                draining.set()       # handlers stop picking up new lines
+                # wait for inflight to stay 0 for a beat: a single zero
+                # reading can be the instant between a finished request
+                # and the handler picking up the next one
                 deadline = time.time() + 30.0
+                zero_since = None
                 while time.time() < deadline:
                     with state_lock:
-                        if counts["inflight"] == 0:
+                        idle = counts["inflight"] == 0
+                    if idle:
+                        zero_since = zero_since or time.time()
+                        if time.time() - zero_since > 0.3:
                             break
+                    else:
+                        zero_since = None
                     time.sleep(0.05)
-                print("shutdown signal: in-flight requests drained",
-                      file=sys.stderr)
+                with state_lock:
+                    left = counts["inflight"]
+                if left:
+                    print(f"shutdown signal: drain deadline expired with "
+                          f"{left} request(s) still in flight",
+                          file=sys.stderr)
+                else:
+                    print("shutdown signal: in-flight requests drained",
+                          file=sys.stderr)
             if batcher is not None:
                 batcher.stop()
     dt = (time.perf_counter() - counts["t0"]) \

@@ -516,7 +516,15 @@ def train(cfg: Config,
                 best_eval_loss = float(multihost_utils.broadcast_one_to_all(
                     np.float64(best_eval_loss)))
 
-        def _eval_params(params, prefix: str) -> Dict[str, float]:
+        def run_eval(cur_state) -> Dict[str, float]:
+            # with EMA on, the smoothed weights are scored on the SAME
+            # placed batch (eval_ema_* keys) — one host→device transfer
+            # per batch regardless of how many param sets are scored;
+            # best-checkpoint selection stays keyed on the raw eval_loss
+            # so the tracked best matches what resume continues from
+            param_sets = [("eval_", cur_state.params)]
+            if cur_state.ema_params is not None:
+                param_sets.append(("eval_ema_", cur_state.ema_params))
             acc: Dict[str, list] = {}
             for i in range(n_eval_batches):
                 # uint8 rolls: 4x fewer host-link bytes per eval sweep
@@ -526,23 +534,12 @@ def train(cfg: Config,
                     eval_data.batch(eval_perm[i * eb:(i + 1) * eb],
                                     x_dtype=np.uint8),
                     pmesh.replicated(mesh))
-                em = jax.device_get(
-                    eval_fn(params, ebatch, jax.random.key(i)))
-                for mk, mv in em.items():
-                    acc.setdefault(mk, []).append(float(mv))
-            return {prefix + mk: sum(mv) / len(mv)
-                    for mk, mv in acc.items()}
-
-        def run_eval(cur_state) -> Dict[str, float]:
-            out = _eval_params(cur_state.params, "eval_")
-            if cur_state.ema_params is not None:
-                # the smoothed weights are what EMA runs sample from —
-                # score them on the same fixed sweep (eval_ema_* keys);
-                # best-checkpoint selection stays keyed on the raw
-                # eval_loss so the tracked best matches what resume
-                # continues training from
-                out.update(_eval_params(cur_state.ema_params, "eval_ema_"))
-            return out
+                for prefix, params in param_sets:
+                    em = jax.device_get(
+                        eval_fn(params, ebatch, jax.random.key(i)))
+                    for mk, mv in em.items():
+                        acc.setdefault(prefix + mk, []).append(float(mv))
+            return {mk: sum(mv) / len(mv) for mk, mv in acc.items()}
 
     # K steps per dispatch (host-link jitter amortizes, pick_k) executed
     # per the alignment-aware plan (dispatch_sizes): the same K whether

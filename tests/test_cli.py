@@ -1286,9 +1286,10 @@ def test_serve_protocol_fuzz_survives(tmp_path, capsys, monkeypatch):
                 {"id": i, "chord": junk_value(), "key": junk_value(),
                  "seed_midi_b64": junk_value()}))
         else:
-            lines.append(json.dumps({"id": i, junk_value() if
-                                     isinstance(junk_value(), str) else
-                                     "f": junk_value()}))
+            k = junk_value()
+            lines.append(json.dumps(
+                {"id": i, (k if isinstance(k, str) else "f"):
+                 junk_value()}))
     lines.append(json.dumps({"id": "final", "seed": 1}))
 
     monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))

@@ -232,3 +232,74 @@ def test_cli_convert_exports_ema(tmp_path, capsys):
                "--out", str(tmp_path / "x.pt"), "--ema"])
     assert rc == 2
     assert "--ema-decay" in capsys.readouterr().err
+
+
+def test_reload_once_ema_and_structure_diagnostics(tmp_path):
+    """Hot-reload prechecks: a newer step whose config dropped EMA (while
+    the service runs --ema) or changed the model structure raises the
+    crafted operator diagnostic instead of a generic Orbax structure
+    mismatch; a compatible newer step still reloads."""
+    from musicvae_tpu import checkpoints
+    from musicvae_tpu.cli import _make_reload_once
+    from musicvae_tpu.parallel import make_mesh
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR, ema_decay=0.5))
+    model, state = create_state(cfg)
+    state = state.replace(step=state.step + 1)
+    mgr = checkpoints.make_manager(str(tmp_path / "c"), keep=3)
+    checkpoints.save(mgr, state, cfg, wait=True)
+    mesh = make_mesh(cfg.mesh)
+    store = {"params": state.ema_params, "step": 1}
+    reload_once = _make_reload_once(mgr, state, mesh, store, use_ema=True)
+    assert reload_once() is None            # nothing newer yet
+
+    # newer step trained WITHOUT EMA → crafted diagnostic, store untouched
+    cfg0 = cpu_friendly(tiny(C1_CONV_BAR))
+    _, s2 = create_state(cfg0)
+    s2 = s2.replace(step=s2.step + 2)
+    checkpoints.save(mgr, s2, cfg0, wait=True)
+    with pytest.raises(ValueError, match="carries no EMA weights"):
+        reload_once()
+    assert store["step"] == 1
+
+    # newer step with a different model structure → crafted diagnostic
+    cfg_big = cpu_friendly(tiny(C1_CONV_BAR, ema_decay=0.5))
+    cfg_big = cfg_big.replace(model=dataclasses.replace(
+        cfg_big.model, z_dim=32))
+    _, s3 = create_state(cfg_big)
+    s3 = s3.replace(step=s3.step + 3)
+    checkpoints.save(mgr, s3, cfg_big, wait=True)
+    with pytest.raises(ValueError, match="different model structure"):
+        reload_once()
+
+    # compatible newer step reloads and swaps the EMA side in
+    _, s4 = create_state(cfg)
+    s4 = s4.replace(step=s4.step + 4)
+    checkpoints.save(mgr, s4, cfg, wait=True)
+    assert reload_once() == 4
+    assert store["step"] == 4
+
+
+def test_ema_off_checkpoint_keeps_pre_ema_disk_layout(tmp_path):
+    """EMA-off checkpoints carry NO ema entry on disk: a pre-EMA-era
+    4-key template (plain dict, how all round-1/2 checkpoints look)
+    restores them, and vice versa. Regression for a real break: saving
+    the TrainState dataclass recorded the None ema field in Orbax's
+    tree metadata, which made every pre-EMA checkpoint fail to restore
+    ('Source: MISSING / Target: MISSING' on ema_params — caught on a
+    real round-3 checkpoint on-chip)."""
+    from musicvae_tpu import checkpoints
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR))
+    model, state = create_state(cfg)
+    state = state.replace(step=state.step + 1)
+    mgr = checkpoints.make_manager(str(tmp_path / "c"), 1)
+    checkpoints.save(mgr, state, cfg, wait=True)
+
+    plain = {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step, "rng": state.rng}
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), plain)
+    restored, _ = checkpoints.restore(mgr, abstract)   # pre-EMA template
+    assert set(restored) == set(plain)
+    np.testing.assert_array_equal(np.asarray(restored["step"]), 1)
