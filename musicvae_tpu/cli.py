@@ -275,6 +275,12 @@ def cmd_eval(args) -> int:
               f"using it", file=sys.stderr)
     model, state = create_state(cfg)
     state, _ = checkpoints.restore(manager, state)
+    if args.ema:
+        if state.ema_params is None:
+            print(_EMA_ERROR, file=sys.stderr)
+            return 2
+        state = state.replace(params=state.ema_params)
+        print("scoring EMA weights", file=sys.stderr)
     if args.midi_glob:
         pieces = []
         for path in sorted(glob.glob(args.midi_glob)):
@@ -1829,6 +1835,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="score raw .mid files directly (alternative to "
                         "--data)")
     p.add_argument("--batches", type=int, default=8)
+    p.add_argument("--ema", action="store_true",
+                   help="score the checkpoint's EMA weights (requires "
+                        "training with --ema-decay)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("eval-gen",

@@ -303,3 +303,36 @@ def test_ema_off_checkpoint_keeps_pre_ema_disk_layout(tmp_path):
     restored, _ = checkpoints.restore(mgr, abstract)   # pre-EMA template
     assert set(restored) == set(plain)
     np.testing.assert_array_equal(np.asarray(restored["step"]), 1)
+
+
+def test_cli_eval_ema(tmp_path, capsys):
+    """eval --ema scores the EMA weights (metrics differ from the raw
+    params after training); EMA-less checkpoint is rc 2."""
+    from musicvae_tpu.cli import main
+
+    out = str(tmp_path / "d.npz")
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--synthetic-pieces", "2", "--out", out]) == 0
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "2", "--ema-decay", "0.5",
+                 "--ckpt-dir", str(tmp_path / "c"),
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    capsys.readouterr()
+    assert main(["eval", "--ckpt-dir", str(tmp_path / "c"),
+                 "--data", out, "--batches", "1"]) == 0
+    raw_out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert main(["eval", "--ckpt-dir", str(tmp_path / "c"),
+                 "--data", out, "--batches", "1", "--ema"]) == 0
+    cap = capsys.readouterr()
+    assert "scoring EMA weights" in cap.err
+    ema_out = cap.out.strip().splitlines()[-1]
+    assert raw_out != ema_out                  # different weights scored
+
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "1", "--ckpt-dir", str(tmp_path / "c2"),
+                 "--log-dir", str(tmp_path / "l2")]) == 0
+    capsys.readouterr()
+    rc = main(["eval", "--ckpt-dir", str(tmp_path / "c2"),
+               "--data", out, "--batches", "1", "--ema"])
+    assert rc == 2
+    assert "--ema-decay" in capsys.readouterr().err
