@@ -145,6 +145,33 @@ def restore(manager: ocp.CheckpointManager, abstract_state,
     if not steps:
         raise FileNotFoundError("no checkpoint found")
     abstract_tree = _state_to_tree(abstract_state)
+
+    def _restore_step(s):
+        try:
+            return manager.restore(
+                s,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(abstract_tree),
+                    config=ocp.args.JsonRestore(),
+                ))
+        except ValueError as e:
+            # interim-layout compatibility: EMA-off checkpoints written
+            # by the first EMA build saved the dataclass directly, which
+            # recorded an explicit None ema_params node in the tree
+            # metadata; retry with that node present so those steps stay
+            # restorable alongside pre-EMA (4-key) and current layouts
+            if (isinstance(abstract_tree, dict)
+                    and "ema_params" not in abstract_tree
+                    and "ema_params" in str(e)):
+                return manager.restore(
+                    s,
+                    args=ocp.args.Composite(
+                        state=ocp.args.StandardRestore(
+                            {**abstract_tree, "ema_params": None}),
+                        config=ocp.args.JsonRestore(),
+                    ))
+            raise
+
     last_err: Optional[Exception] = None
     failed: list = []
     for s in steps:
@@ -155,12 +182,7 @@ def restore(manager: ocp.CheckpointManager, abstract_state,
         # would sideline a healthy latest checkpoint
         for attempt in range(2):
             try:
-                restored = manager.restore(
-                    s,
-                    args=ocp.args.Composite(
-                        state=ocp.args.StandardRestore(abstract_tree),
-                        config=ocp.args.JsonRestore(),
-                    ))
+                restored = _restore_step(s)
                 break
             except Exception as e:
                 if strict:

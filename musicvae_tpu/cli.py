@@ -25,6 +25,17 @@ _EMA_ERROR = ("error: --ema needs a checkpoint trained with "
               "--ema-decay > 0 (this one has no EMA weights)")
 
 
+def _use_ema_weights(state):
+    """The state with params replaced by its EMA weights, or None after
+    printing _EMA_ERROR (callers map None to rc 2). The single home of
+    the guard+swap used by eval / generate / eval-gen / convert /
+    serve."""
+    if state.ema_params is None:
+        print(_EMA_ERROR, file=sys.stderr)
+        return None
+    return state.replace(params=state.ema_params)
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--config", default="c1_conv_bar",
                    help="one of the canonical configs (config.py)")
@@ -276,10 +287,9 @@ def cmd_eval(args) -> int:
     model, state = create_state(cfg)
     state, _ = checkpoints.restore(manager, state)
     if args.ema:
-        if state.ema_params is None:
-            print(_EMA_ERROR, file=sys.stderr)
+        state = _use_ema_weights(state)
+        if state is None:
             return 2
-        state = state.replace(params=state.ema_params)
         print("scoring EMA weights", file=sys.stderr)
     if args.midi_glob:
         pieces = []
@@ -362,10 +372,9 @@ def _load_gen_state(args, gen, what: str):
         print(f"warning: no checkpoint found, {what} from random init",
               file=sys.stderr)
     if getattr(args, "ema", False):
-        if state.ema_params is None:
-            print(_EMA_ERROR, file=sys.stderr)
+        state = _use_ema_weights(state)
+        if state is None:
             return None                      # caller returns rc 2
-        state = state.replace(params=state.ema_params)
         print("using EMA weights", file=sys.stderr)
     return cfg, model, state
 
@@ -776,10 +785,10 @@ def cmd_convert(args) -> int:
         state, _ = checkpoints.restore(mgr, state)
         export_params = state.params
         if getattr(args, "ema", False):
-            if state.ema_params is None:
-                print(_EMA_ERROR, file=sys.stderr)
+            swapped = _use_ema_weights(state)
+            if swapped is None:
                 return None                  # caller returns rc 2
-            export_params = state.ema_params
+            export_params = swapped.params
         sd = flax_params_to_torch_state_dict(
             jax.device_get(export_params), cfg)
         return sd, cfg, int(jax.device_get(state.step))
@@ -912,10 +921,11 @@ def cmd_serve(args) -> int:
     cfg = checkpoints.restore_config(manager).replace(gen=gen_spec)
     model, state = create_state(cfg)
     state, _ = checkpoints.restore(manager, state)
-    if args.ema and state.ema_params is None:
-        print(_EMA_ERROR, file=sys.stderr)
-        return 2
-    serving_params = state.ema_params if args.ema else state.params
+    if args.ema:
+        state = _use_ema_weights(state)
+        if state is None:
+            return 2
+    serving_params = state.params
     from musicvae_tpu.parallel import make_mesh, replicated
     mesh = make_mesh(cfg.mesh)
     # params live in a mutable store so the reload watcher (below) can
@@ -1464,13 +1474,11 @@ def _make_reload_once(manager, template_state, mesh, store,
     from musicvae_tpu.parallel import replicated
 
     lock = threading.Lock()
-    # an ABSTRACT template (shapes/dtypes only): restore() accepts one,
-    # and it keeps the watcher from pinning a second concrete copy of
-    # params + optimizer moments in memory for the service's lifetime
-    template = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template_state)
+    # only the param SHAPES are kept (the per-reload restore template is
+    # rebuilt abstractly from each new step's own config): the guard
+    # that a reloaded checkpoint still fits the compiled programs
     param_shapes = jax.tree.map(lambda x: (x.shape, str(x.dtype)),
-                                template.params)
+                                template_state.params)
 
     def reload_once():
         with lock:

@@ -336,3 +336,38 @@ def test_cli_eval_ema(tmp_path, capsys):
                "--data", out, "--batches", "1", "--ema"])
     assert rc == 2
     assert "--ema-decay" in capsys.readouterr().err
+
+
+def test_interim_layout_checkpoint_restores(tmp_path):
+    """EMA-off checkpoints from the FIRST EMA build saved the dataclass
+    directly, recording an explicit None ema_params node; the restore
+    path must retry with that node present rather than bricking the
+    directory (second-review finding — reproduced with a raw Orbax
+    save of the interim tree shape)."""
+    import orbax.checkpoint as ocp
+
+    from musicvae_tpu import checkpoints
+
+    cfg = cpu_friendly(tiny(C1_CONV_BAR))
+    model, state = create_state(cfg)
+    state = state.replace(step=state.step + 1)
+
+    mgr = checkpoints.make_manager(str(tmp_path / "c"), 1)
+    import dataclasses as _dc
+
+    from musicvae_tpu.config import Config  # noqa: F401 (clarity)
+    interim_tree = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step, "rng": state.rng,
+                    "ema_params": None}       # the interim on-disk shape
+    mgr.save(1, args=ocp.args.Composite(
+        state=ocp.args.StandardSave(interim_tree),
+        config=ocp.args.JsonSave(_dc.asdict(cfg))))
+    mgr.wait_until_finished()
+
+    _, template = create_state(cfg)           # EMA-off: 4-key template
+    restored, rcfg = checkpoints.restore(mgr, template)
+    assert int(restored.step) == 1
+    assert restored.ema_params is None
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
