@@ -456,6 +456,25 @@ def cmd_generate(args) -> int:
     elif args.encode:
         print("error: --encode needs --seed-midi", file=sys.stderr)
         return 2
+    if args.interp_midi_b:
+        if not (args.seed_midi and args.encode and args.interpolate):
+            print("error: --interp-midi-b morphs between two encoded "
+                  "pieces; it needs --seed-midi, --encode and "
+                  "--interpolate", file=sys.stderr)
+            return 2
+        kw_b, err = _seed_from_midi(
+            cfg, model, params, args.interp_midi_b, True, args.samples,
+            jax.random.fold_in(jax.random.key(args.seed), 1))
+        if err:
+            print(f"error: {err}", file=sys.stderr)
+            return 2
+        # B's encoded posterior pins the slerp END (generate/sampler
+        # latent_path z1 / the hier phrase-identity morph z_phrase1);
+        # B's seed bar is discarded — the sweep STARTS from A's material
+        if "z0" in kw_b:
+            kw["z1"] = kw_b["z0"]
+        if "z_phrase0" in kw_b:
+            kw["z_phrase1"] = kw_b["z_phrase0"]
     if cfg.model.kind == "cond" and (args.chord is not None
                                      or args.key is not None):
         import jax.numpy as jnp
@@ -1904,6 +1923,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="with --seed-midi: also start the latent path "
                         "from the encoded posterior of the file's last "
                         "window instead of the prior")
+    p.add_argument("--interp-midi-b", default=None,
+                   help="morph between two real pieces: with --seed-midi A "
+                        "--encode --interpolate, the sweep slerps from A's "
+                        "encoded latent to THIS file's (the MusicVAE "
+                        "two-endpoint interpolation)")
     p.add_argument("--out-dir", default="generated")
     p.add_argument("--write-midis", type=int, default=8)
     p.set_defaults(fn=cmd_generate)

@@ -30,7 +30,8 @@ from musicvae_tpu.models.vae import PianoRollVAE, build_model
 
 def latent_path(key: jax.Array, cfg: Config, batch: int, num_bars: int,
                 interpolate: bool, temperature: float = 1.0,
-                z0: Optional[jax.Array] = None
+                z0: Optional[jax.Array] = None,
+                z1: Optional[jax.Array] = None
                 ) -> Tuple[jax.Array, jax.Array]:
     """Per-bar latent path z[B, num_bars, z] and GRU reset mask [B, num_bars].
 
@@ -47,16 +48,24 @@ def latent_path(key: jax.Array, cfg: Config, batch: int, num_bars: int,
     endpoints). ``z0`` ([B, z], e.g. an encoded posterior sample from
     `make_encode_fn` — the continuation path) pins the FIRST phrase's z
     (and the slerp start z_a under ``interpolate``); later phrases still
-    come from the prior. Pure function of the PRNG key — safe inside jit.
+    come from the prior. ``z1`` ([B, z]) pins the slerp END z_b — with
+    both endpoints encoded from real pieces the sweep is a MORPH from
+    piece A's material to piece B's (the MusicVAE-lineage two-endpoint
+    interpolation); requires ``interpolate``. Pure function of the PRNG
+    key — safe inside jit.
     """
     z_dim = cfg.model.z_dim
     phrase = 1 if cfg.model.kind == "hier" else max(1, cfg.model.num_bars)
     n_phrases = -(-num_bars // phrase)
+    if z1 is not None and not interpolate:
+        raise ValueError("z1 pins the slerp endpoint and only makes sense "
+                         "with interpolate=True")
     if interpolate:
         k_a, k_b = jax.random.split(key)
         z_a = (z0 if z0 is not None
                else jax.random.normal(k_a, (batch, z_dim)) * temperature)
-        z_b = jax.random.normal(k_b, (batch, z_dim)) * temperature
+        z_b = (z1 if z1 is not None
+               else jax.random.normal(k_b, (batch, z_dim)) * temperature)
         ts = (jnp.linspace(0.0, 1.0, n_phrases) if n_phrases > 1
               else jnp.array([0.5]))
         # [n_phrases, B, z] → phrase-major path
@@ -89,7 +98,12 @@ def _sweep_body(cfg: Config, model: PianoRollVAE, mesh=None):
     phrase's latent and ``z_phrase0`` [B,z_phrase] the hier phrase
     latent — both typically encoded posterior samples from
     make_encode_fn (continuation from real music rather than the prior).
-    Omitted cond chord/key_sig draw random classes on device.
+    Under ``interpolate``, ``z1`` [B,z] pins the slerp END — with both
+    endpoints encoded the sweep MORPHS from piece A to piece B; for hier
+    models ``z_phrase1`` instead slerps the PHRASE latent (the piece
+    identity) bar-by-bar from z_phrase0 to z_phrase1 while the per-bar
+    z path keeps its usual granularity. Omitted cond chord/key_sig draw
+    random classes on device.
     """
     g = cfg.gen
     if g.sample_mode not in ("threshold", "bernoulli"):
@@ -102,10 +116,15 @@ def _sweep_body(cfg: Config, model: PianoRollVAE, mesh=None):
         batch_spec = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
     def sweep(params, key, seed_bar=None, chord=None, key_sig=None,
-              z0=None, z_phrase0=None):
+              z0=None, z_phrase0=None, z1=None, z_phrase1=None):
+        if z_phrase1 is not None and not (cfg.model.kind == "hier"
+                                          and g.interpolate):
+            raise ValueError("z_phrase1 morphs the hier phrase latent and "
+                             "needs kind='hier' plus interpolate=True")
         k_z, k_c, k_k, k_p, k_bin = jax.random.split(key, 5)
         z_bars, reset = latent_path(k_z, cfg, batch, num_bars,
-                                    g.interpolate, g.temperature, z0=z0)
+                                    g.interpolate, g.temperature,
+                                    z0=z0, z1=z1)
         if mesh is not None:
             z_bars = jax.lax.with_sharding_constraint(z_bars, batch_spec)
         kw: Dict = {}
@@ -123,6 +142,15 @@ def _sweep_body(cfg: Config, model: PianoRollVAE, mesh=None):
                         else jax.random.normal(
                             k_p, (batch, cfg.model.z_phrase_dim))
                         * g.temperature)
+            if z_phrase1 is not None:
+                # phrase-identity morph: slerp the piece latent bar-by-bar
+                # from z_phrase (A) to z_phrase1 (B) — [B,N,z_phrase],
+                # consumed per bar by model.generate
+                ts = (jnp.linspace(0.0, 1.0, num_bars) if num_bars > 1
+                      else jnp.array([0.5]))
+                z_phrase = jnp.swapaxes(
+                    jax.vmap(lambda t: slerp(z_phrase, z_phrase1, t))(ts),
+                    0, 1)
         if g.sample_mode == "bernoulli":
             kw["bin_keys"] = jax.random.split(k_bin, num_bars)
             kw["sample_temperature"] = g.sample_temperature

@@ -369,8 +369,13 @@ class PianoRollVAE(nn.Module):
             xs["cond"] = self.cond_vector(chord, key_sig)
         if spec.kind == "hier":
             assert z_phrase is not None
-            xs["z_phrase"] = jnp.broadcast_to(
-                z_phrase[:, None, :], (b, n, z_phrase.shape[-1]))
+            # [B,zp] (one piece identity per sweep) or [B,N,zp] (a per-bar
+            # phrase path, e.g. a two-endpoint identity morph — sampler
+            # _sweep_body z_phrase1)
+            xs["z_phrase"] = (z_phrase if z_phrase.ndim == 3
+                              else jnp.broadcast_to(
+                                  z_phrase[:, None, :],
+                                  (b, n, z_phrase.shape[-1])))
         dt = layers._dtype(spec.dtype)
         h = jnp.zeros((b, spec.gru_hidden), dt)
         # prev-bar carry is uint8 (binary content; must match _binarize's

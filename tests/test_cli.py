@@ -191,6 +191,41 @@ def test_generate_seed_midi_and_encode(tmp_path, capsys):
                  "--encode", "--out-dir", str(tmp_path / "x")]) == 2
 
 
+def test_generate_morph_two_files(tmp_path, capsys):
+    """`generate --interp-midi-b B.mid`: the sweep slerps from A's encoded
+    latent to B's (the MusicVAE two-endpoint interpolation). Same seed
+    without the B endpoint gives a different sweep; missing prerequisite
+    flags are a clean usage error."""
+    from musicvae_tpu.data import synth_corpus
+
+    ckpt = _tiny_ckpt(tmp_path, "c2_gru_4bar")
+    a = _write_seed_midi(tmp_path)
+    b = tmp_path / "b.mid"
+    b.write_bytes(synth_corpus(num_pieces=2, n_bars=6, seed=11)[1][0])
+    out = tmp_path / "morph"
+    rc = main(["generate", "--config", "c2_gru_4bar", "--ckpt-dir", ckpt,
+               "--bars", "8", "--samples", "2", "--interpolate",
+               "--seed-midi", a, "--encode", "--interp-midi-b", str(b),
+               "--out-dir", str(out), "--write-midis", "1"])
+    assert rc == 0
+    rolls = np.load(str(out / "rolls.npy"))
+    assert rolls.shape == (2, 8, 96, 128)
+    assert (out / "sample_0000.mid").read_bytes()[:4] == b"MThd"
+    # the pinned B endpoint changes the sweep vs a prior-drawn slerp end
+    out2 = tmp_path / "nomorph"
+    rc = main(["generate", "--config", "c2_gru_4bar", "--ckpt-dir", ckpt,
+               "--bars", "8", "--samples", "2", "--interpolate",
+               "--seed-midi", a, "--encode", "--out-dir", str(out2),
+               "--write-midis", "0"])
+    assert rc == 0
+    assert (rolls != np.load(str(out2 / "rolls.npy"))).any()
+    # --interp-midi-b without --encode/--interpolate is a usage error
+    assert main(["generate", "--config", "c2_gru_4bar", "--ckpt-dir", ckpt,
+                 "--seed-midi", a, "--interp-midi-b", str(b),
+                 "--out-dir", str(tmp_path / "x")]) == 2
+    assert "interp-midi-b" in capsys.readouterr().err
+
+
 def test_reconstruct_cli(tmp_path, capsys):
     """`reconstruct`: MIDI → encode → decode → MIDI + P/R/F1 line."""
     ckpt = _tiny_ckpt(tmp_path, "c2_gru_4bar")

@@ -396,6 +396,62 @@ def test_hier_interpolation_slerps_per_bar():
                                   np.asarray([1, 0, 0, 0] * 2, np.float32))
 
 
+def test_latent_path_z1_pins_slerp_end():
+    """z1 pins the slerp END — with both endpoints encoded from real
+    pieces the sweep is a two-endpoint morph (generate --interp-midi-b)."""
+    import pytest
+
+    from musicvae_tpu.generate import latent_path
+
+    cfg = tiny(cpu_friendly(C2_GRU_4BAR))
+    z0 = jnp.full((2, cfg.model.z_dim), 0.5)
+    z1 = jnp.full((2, cfg.model.z_dim), -0.25)
+    z, _ = latent_path(jax.random.key(0), cfg, batch=2, num_bars=8,
+                       interpolate=True, z0=z0, z1=z1)
+    # 8 bars = 2 phrases of 4: phrase 0 is the slerp start (t=0) = z0,
+    # phrase 1 the end (t=1) = z1
+    np.testing.assert_allclose(np.asarray(z[:, 0]), np.asarray(z0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z[:, 3]), np.asarray(z0),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z[:, 4]), np.asarray(z1),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z[:, 7]), np.asarray(z1),
+                               atol=1e-6)
+    # z1 without interpolate is a usage error, not a silent ignore
+    with pytest.raises(ValueError, match="interpolate"):
+        latent_path(jax.random.key(0), cfg, batch=2, num_bars=8,
+                    interpolate=False, z1=z1)
+
+
+def test_hier_phrase_morph(corpus):
+    """z_phrase1: the hier PHRASE identity slerps bar-by-bar from
+    z_phrase0 to z_phrase1 (the piece-identity morph) while the per-bar
+    z path keeps its usual per-bar granularity."""
+    import pytest
+
+    from musicvae_tpu.config import C3_HIER_16BAR
+
+    cfg = tiny(cpu_friendly(C3_HIER_16BAR), num_bars=4).replace(
+        gen=GenSpec(num_bars=4, num_samples=2, interpolate=True))
+    model, state, _, _ = _overfit(cfg, corpus, steps=2)
+    gen = make_generate_fn(cfg, model)
+    zp0 = jnp.full((2, cfg.model.z_phrase_dim), 2.0)
+    zp1 = -zp0
+    bars = np.asarray(gen(state.params, jax.random.key(1),
+                          z_phrase0=zp0, z_phrase1=zp1))
+    assert bars.shape == (2, 4, 96, 128)
+    # morphing the identity changes the sweep vs holding it fixed at zp0
+    fixed = np.asarray(gen(state.params, jax.random.key(1),
+                           z_phrase0=zp0))
+    assert (bars != fixed).any()
+    # z_phrase1 without interpolate is a usage error
+    cfg_ni = cfg.replace(gen=GenSpec(num_bars=4, num_samples=2))
+    with pytest.raises(ValueError, match="interpolate"):
+        make_generate_fn(cfg_ni, model)(state.params, jax.random.key(1),
+                                        z_phrase0=zp0, z_phrase1=zp1)
+
+
 def test_bernoulli_sample_mode(corpus):
     """GenSpec.sample_mode='bernoulli': deterministic under a fixed key,
     different draws under different keys, distinct from threshold mode,
