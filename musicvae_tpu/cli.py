@@ -602,6 +602,11 @@ def cmd_reconstruct(args) -> int:
               f"using it", file=sys.stderr)
     model, state = create_state(cfg)
     state, _ = checkpoints.restore(manager, state)
+    if args.ema:
+        state = _use_ema_weights(state)
+        if state is None:
+            return 2
+        print("using EMA weights", file=sys.stderr)
     rec = reconstruct_fn(cfg, model)
 
     paths = sorted(glob.glob(args.midi_glob))
@@ -1941,6 +1946,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--out-dir", default="reconstructed")
     p.add_argument("--seed", type=int, default=0,
                    help="posterior-sample PRNG seed")
+    p.add_argument("--ema", action="store_true",
+                   help="reconstruct with the checkpoint's EMA weights "
+                        "(requires training with --ema-decay)")
     p.set_defaults(fn=cmd_reconstruct)
 
     p = sub.add_parser("describe",

@@ -338,6 +338,48 @@ def test_cli_eval_ema(tmp_path, capsys):
     assert "--ema-decay" in capsys.readouterr().err
 
 
+def test_cli_reconstruct_ema(tmp_path, capsys):
+    """reconstruct --ema decodes with the EMA weights (output differs
+    from the raw-params reconstruction); EMA-less checkpoint is rc 2 —
+    the last command on the sampling surface to gain the flag."""
+    from musicvae_tpu.cli import main
+    from musicvae_tpu.data import synth_corpus
+
+    midi = tmp_path / "piece.mid"
+    midi.write_bytes(synth_corpus(num_pieces=1, n_bars=2, seed=4)[0][0])
+    out = str(tmp_path / "d.npz")
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--synthetic-pieces", "2", "--out", out]) == 0
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "2", "--ema-decay", "0.5",
+                 "--ckpt-dir", str(tmp_path / "c"),
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    capsys.readouterr()
+    assert main(["reconstruct", "--ckpt-dir", str(tmp_path / "c"),
+                 "--midi-glob", str(midi),
+                 "--out-dir", str(tmp_path / "raw")]) == 0
+    capsys.readouterr()
+    assert main(["reconstruct", "--ckpt-dir", str(tmp_path / "c"),
+                 "--midi-glob", str(midi), "--ema",
+                 "--out-dir", str(tmp_path / "ema")]) == 0
+    cap = capsys.readouterr()
+    assert "using EMA weights" in cap.err
+    raw = (tmp_path / "raw" / "piece.recon.mid").read_bytes()
+    ema = (tmp_path / "ema" / "piece.recon.mid").read_bytes()
+    assert raw[:4] == ema[:4] == b"MThd"
+    assert raw != ema                         # different weights decoded
+
+    assert main(["train", "--config", "c1_conv_bar", "--data", out,
+                 "--steps", "1", "--ckpt-dir", str(tmp_path / "c2"),
+                 "--log-dir", str(tmp_path / "l2")]) == 0
+    capsys.readouterr()
+    rc = main(["reconstruct", "--ckpt-dir", str(tmp_path / "c2"),
+               "--midi-glob", str(midi), "--ema",
+               "--out-dir", str(tmp_path / "x")])
+    assert rc == 2
+    assert "--ema-decay" in capsys.readouterr().err
+
+
 def test_interim_layout_checkpoint_restores(tmp_path):
     """EMA-off checkpoints from the FIRST EMA build saved the dataclass
     directly, recording an explicit None ema_params node; the restore
