@@ -43,6 +43,11 @@ def main() -> int:
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--pallas-loss", action="store_true",
+                   help="TrainSpec.use_pallas_loss=True: the train step's "
+                        "differentiated masked-BCE runs through the "
+                        "dual-output Pallas kernel (round-4 A/B, "
+                        "ops/fused_elbo.py)")
     args = p.parse_args()
 
     import dataclasses
@@ -65,6 +70,10 @@ def main() -> int:
     if args.batch:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                     batch_size=args.batch))
+    if args.pallas_loss:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    use_pallas_loss=True))
+        overrides["use_pallas_loss"] = True
     log(f"backend: {jax.default_backend()}; config {cfg.name} "
         f"overrides={overrides} batch={cfg.train.batch_size} K={args.k}")
 

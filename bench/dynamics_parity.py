@@ -1,0 +1,164 @@
+"""Trained-dynamics parity: train the torch-CPU oracle and the flax model
+from the SAME converted init on the SAME corpus with the SAME batch
+schedule, shared reparameterization noise, and the same Adam/β settings,
+then compare the loss trajectories (VERDICT r3 missing #2 — per-step grad
+parity existed, multi-step training dynamics did not).
+
+This is the strongest "same model, ~900x faster" claim available while
+the reference mount is empty (SURVEY §0.2): the oracle IS the
+reference-equivalent torch implementation, and agreement of the two
+trajectories over hundreds of optimizer steps means the frameworks
+compute the same training process, not just the same per-step numbers.
+
+Methodology notes:
+- eps is drawn once per step on host (numpy) and fed to BOTH models, so
+  the stochastic node is shared; residual divergence is pure floating-
+  point accumulation (op order, XLA fusion) amplified by the optimizer.
+- C1 (single-bar conv VAE, fp32, batch 16): the config whose oracle
+  trains fastest; both sides run fp32 so dtype is not a confound.
+- Compared at checkpoints every ``--ckpt-every`` steps on a ``--smooth``-
+  step trailing mean (per-step losses are noisy through the shared-noise
+  chaos; trailing means measure the trajectory, not the jitter).
+
+Usage (either backend; the flax side is tiny on CPU too):
+    python bench/dynamics_parity.py [--steps 300] [--ckpt-every 50]
+Prints one JSON line with both trajectories and the max relative gap.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# python puts the script's own dir (bench/) at sys.path[0], where
+# bench/profile.py shadows the STDLIB `profile` module that torch imports
+# — drop it before any heavy import
+sys.path[:] = [p for p in sys.path if not p.rstrip("/").endswith("bench")]
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run(steps: int = 300, ckpt_every: int = 50, smooth: int = 10,
+        batch: int = 16, seed: int = 0, tiny: bool = False):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import torch
+
+    from musicvae_tpu.checkpoints.torch_convert import (
+        flax_params_to_torch_state_dict)
+    from musicvae_tpu.config import C1_CONV_BAR
+    from musicvae_tpu.data import PianoRollDataset, synth_corpus
+    from musicvae_tpu.midi.tensorize import pitch_mask
+    from musicvae_tpu.models import init_params
+    from musicvae_tpu.ops.losses import beta_schedule
+    from musicvae_tpu.train.trainer import elbo_from_outputs
+    from oracle.oracle_model import OracleVAE, oracle_elbo
+
+    cfg = C1_CONV_BAR
+    if tiny:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, enc_channels=(4, 8, 8, 8, 8),
+            dec_channels=(8, 8, 8, 8, 8), z_dim=8))
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                batch_size=batch))
+    t = cfg.train
+
+    # shared corpus + deterministic batch schedule
+    ds = PianoRollDataset.from_corpus(
+        synth_corpus(num_pieces=16, n_bars=8, seed=seed), cfg.midi,
+        cfg.model.num_bars)
+    rng = np.random.default_rng(seed)
+    idxs = rng.integers(0, len(ds), size=(steps, batch))
+    eps = rng.standard_normal((steps, batch, cfg.model.z_dim)) \
+        .astype(np.float32)
+
+    # same converted init
+    model, params = init_params(cfg, jax.random.key(seed))
+    params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+    torch.manual_seed(seed)
+    oracle = OracleVAE(cfg)
+    oracle.load_state_dict(flax_params_to_torch_state_dict(params, cfg))
+
+    # same optimizer + β schedule
+    opt = optax.adam(t.learning_rate, b1=t.adam_b1, b2=t.adam_b2)
+    opt_state = opt.init(params)
+    topt = torch.optim.Adam(oracle.parameters(), lr=t.learning_rate,
+                            betas=(t.adam_b1, t.adam_b2))
+    mask = pitch_mask(cfg.midi)
+    tmask = torch.tensor(np.asarray(mask))
+
+    @jax.jit
+    def flax_step(params, opt_state, x, e, beta):
+        def loss_fn(p):
+            logits, latents = model.apply({"params": p}, x, eps=(e,))
+            loss, aux = elbo_from_outputs(cfg, logits, x, latents, beta)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    flax_losses, torch_losses = [], []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        x_np = ds.batch(idxs[i])["x"]
+        beta = float(beta_schedule(jnp.asarray(i), t.beta_max,
+                                   t.beta_warmup_steps, t.beta_hold_steps,
+                                   t.beta_cycle_steps))
+        params, opt_state, loss = flax_step(
+            params, opt_state, jnp.asarray(x_np), jnp.asarray(eps[i]), beta)
+        flax_losses.append(float(loss))
+
+        tx = torch.tensor(x_np)
+        topt.zero_grad()
+        logits, latents = oracle(tx, eps=torch.tensor(eps[i]))
+        tloss, _, _ = oracle_elbo(logits, tx, tmask, latents, beta)
+        tloss.backward()
+        topt.step()
+        torch_losses.append(float(tloss.detach()))
+        if (i + 1) % max(1, steps // 6) == 0:
+            log(f"step {i+1}: flax {flax_losses[-1]:.2f} "
+                f"torch {torch_losses[-1]:.2f} "
+                f"({(i+1)/(time.perf_counter()-t0):.2f} joint steps/s)")
+
+    f = np.asarray(flax_losses)
+    o = np.asarray(torch_losses)
+    ckpts, gaps = [], []
+    for c in range(ckpt_every, steps + 1, ckpt_every):
+        fm = float(f[c - smooth:c].mean())
+        om = float(o[c - smooth:c].mean())
+        ckpts.append({"step": c, "flax": round(fm, 3),
+                      "torch": round(om, 3),
+                      "rel_gap": round(abs(fm - om) / om, 5)})
+        gaps.append(abs(fm - om) / om)
+    return {"config": cfg.name, "steps": steps, "batch": batch,
+            "tiny": tiny, "checkpoints": ckpts,
+            "max_rel_gap": round(max(gaps), 5),
+            "first_step_rel_gap": round(abs(f[0] - o[0]) / o[0], 7)}
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--ckpt-every", type=int, default=50)
+    p.add_argument("--smooth", type=int, default=10)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args()
+    result = run(steps=args.steps, ckpt_every=args.ckpt_every,
+                 smooth=args.smooth, batch=args.batch, tiny=args.tiny)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,7 +31,11 @@ def config_from_json(text: str) -> config_lib.Config:
         model=config_lib.ModelSpec(
             **{**d["model"],
                "enc_channels": tuple(d["model"]["enc_channels"]),
-               "dec_channels": tuple(d["model"]["dec_channels"])}),
+               "dec_channels": tuple(d["model"]["dec_channels"]),
+               # absent in pre-round-4 checkpoints: default the MXU-stem
+               # fields so old checkpoints keep restoring
+               "stem": d["model"].get("stem", "conv"),
+               "patch_size": tuple(d["model"].get("patch_size", (8, 16)))}),
         train=config_lib.TrainSpec(**d["train"]),
         gen=config_lib.GenSpec(**d["gen"]),
         mesh=config_lib.MeshSpec(**d["mesh"]),

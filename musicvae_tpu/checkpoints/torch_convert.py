@@ -81,9 +81,19 @@ def _head(sd, name, n_deconvs):
     return out
 
 
+def _require_conv_stem(cfg: Config) -> None:
+    if cfg.model.stem != "conv":
+        raise ValueError(
+            f"config {cfg.name!r} uses the MXU patch stem "
+            f"(ModelSpec.stem={cfg.model.stem!r}) — a beyond-reference "
+            "architecture with no torch twin; checkpoint conversion "
+            "applies to the parity configs (stem='conv') only")
+
+
 def torch_state_dict_to_flax(state_dict: Dict[str, Any],
                              cfg: Config) -> Dict[str, Any]:
     """Oracle (reference-style) torch state_dict → flax params pytree."""
+    _require_conv_stem(cfg)
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
           for k, v in state_dict.items()}
     spec = cfg.model
@@ -131,6 +141,7 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Any],
 def flax_params_to_torch_state_dict(params: Dict[str, Any],
                                     cfg: Config) -> Dict[str, Any]:
     """Inverse mapping (flax → oracle torch state_dict), for exporting."""
+    _require_conv_stem(cfg)
     import torch
 
     def t(x):

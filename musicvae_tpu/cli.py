@@ -36,10 +36,44 @@ def _use_ema_weights(state):
     return state.replace(params=state.ema_params)
 
 
+def _positive_int(s: str) -> int:
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+    return v
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--config", default="c1_conv_bar",
                    help="one of the canonical configs (config.py)")
     p.add_argument("--ckpt-dir", default="checkpoints_out")
+    # MIDI-ingestion knobs, honored by every command that reads .mid files
+    # (preprocess/train/eval/eval-gen/generate/reconstruct/serve) and
+    # applied AFTER checkpoint-config restore (_apply_midi_overrides)
+    p.add_argument("--max-events", type=_positive_int, default=None,
+                   help="max notes per MIDI file (MidiSpec.max_events, "
+                        "default 4096); dense classical piano pieces can "
+                        "exceed the default — raise it here")
+    p.add_argument("--ignore-time-signature", action="store_true",
+                   help="tensorize files whose declared time signature "
+                        "does not match the config's bar length anyway "
+                        "(bar boundaries will follow the config, not the "
+                        "file; default is a hard error)")
+
+
+def _apply_midi_overrides(cfg, args):
+    """--max-events / --ignore-time-signature onto cfg.midi. These are
+    ingestion knobs, not model semantics, so they may be applied to
+    checkpoint-restored configs too (the roll SHAPE is untouched)."""
+    import dataclasses
+    kw = {}
+    if getattr(args, "max_events", None) is not None:
+        kw["max_events"] = args.max_events
+    if getattr(args, "ignore_time_signature", False):
+        kw["ignore_time_signature"] = True
+    if kw:
+        cfg = cfg.replace(midi=dataclasses.replace(cfg.midi, **kw))
+    return cfg
 
 
 def _read_midi_corpus(midi_glob: str, labels_path=None):
@@ -76,7 +110,7 @@ def cmd_preprocess(args) -> int:
     from musicvae_tpu.config import get_config
     from musicvae_tpu.data import PianoRollDataset, synth_corpus
 
-    cfg = get_config(args.config)
+    cfg = _apply_midi_overrides(get_config(args.config), args)
     if args.midi_glob:
         pieces, rc = _read_midi_corpus(args.midi_glob, args.labels)
         if rc:
@@ -102,7 +136,7 @@ def cmd_train(args) -> int:
     from musicvae_tpu.train import GracefulStop, create_state, train
     from musicvae_tpu.utils import MetricsLogger
 
-    cfg = get_config(args.config)
+    cfg = _apply_midi_overrides(get_config(args.config), args)
     import dataclasses
     overrides = {k: v for k, v in (
         ("num_steps", args.steps),
@@ -280,7 +314,7 @@ def cmd_eval(args) -> int:
     if manager.latest_step() is None:
         raise FileNotFoundError(f"no checkpoint in {args.ckpt_dir}")
     # the checkpoint knows its own config — the flag only needs to match it
-    cfg = checkpoints.restore_config(manager)
+    cfg = _apply_midi_overrides(checkpoints.restore_config(manager), args)
     if args.config != cfg.name:
         print(f"note: checkpoint was trained with config {cfg.name!r}; "
               f"using it", file=sys.stderr)
@@ -360,14 +394,16 @@ def _load_gen_state(args, gen, what: str):
 
     manager = checkpoints.make_manager(args.ckpt_dir)
     if manager.latest_step() is not None:
-        cfg = checkpoints.restore_config(manager).replace(gen=gen)
+        cfg = _apply_midi_overrides(
+            checkpoints.restore_config(manager).replace(gen=gen), args)
         if args.config != cfg.name:
             print(f"note: checkpoint was trained with config {cfg.name!r}; "
                   f"using it", file=sys.stderr)
         model, state = create_state(cfg)
         state, _ = checkpoints.restore(manager, state)
     else:
-        cfg = get_config(args.config).replace(gen=gen)
+        cfg = _apply_midi_overrides(
+            get_config(args.config).replace(gen=gen), args)
         model, state = create_state(cfg)
         print(f"warning: no checkpoint found, {what} from random init",
               file=sys.stderr)
@@ -596,7 +632,7 @@ def cmd_reconstruct(args) -> int:
         print(f"error: no checkpoint in {args.ckpt_dir}; reconstruct needs "
               f"a trained model", file=sys.stderr)
         return 2
-    cfg = checkpoints.restore_config(manager)
+    cfg = _apply_midi_overrides(checkpoints.restore_config(manager), args)
     if args.config != cfg.name:
         print(f"note: checkpoint was trained with config {cfg.name!r}; "
               f"using it", file=sys.stderr)
@@ -675,15 +711,15 @@ def cmd_describe(args) -> int:
     import glob as glob_mod
     import json
 
-    # pin the CPU backend BEFORE anything touches jax: make_manager's
-    # first jax call would otherwise initialize the ambient TPU backend
-    # — connecting to (and, with the tunnel down, hanging on) the very
-    # device this command promises never to touch
+    # NOTE: when run as the CLI binary, main() pins jax_platforms=cpu for
+    # this subcommand BEFORE anything touches jax (make_manager's first
+    # jax call would otherwise initialize the ambient TPU backend —
+    # connecting to, and with the tunnel down hanging on, the very device
+    # this command promises never to touch). In-process callers keep
+    # their ambient backend: describe only does metadata reads and
+    # eval_shape, both backend-agnostic, and mutating global jax config
+    # under a live caller would be a surprising side effect.
     import jax
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:
-        pass    # backend already initialized (in-process caller)
 
     from musicvae_tpu import checkpoints
     from musicvae_tpu.models import init_params
@@ -942,7 +978,8 @@ def cmd_serve(args) -> int:
         print(f"error: no checkpoint in {args.ckpt_dir}; serve needs a "
               f"trained model", file=sys.stderr)
         return 2
-    cfg = checkpoints.restore_config(manager).replace(gen=gen_spec)
+    cfg = _apply_midi_overrides(
+        checkpoints.restore_config(manager).replace(gen=gen_spec), args)
     model, state = create_state(cfg)
     state, _ = checkpoints.restore(manager, state)
     if args.ema:
@@ -1234,10 +1271,18 @@ def _stats_response(rid, cfg, store, served: int, errors: int,
 class _CoalescedRunner:
     """Host side of serve's dynamic batching: stacks up to ``width``
     requests' (seed, arrays) into the one coalesced device program
-    (make_coalesced_generate_fn), padding short batches to the fixed
-    width so jit never retraces. Pad slots reuse seed 0 + zeros and are
-    sliced off before the host unpack, so they cost device FLOPs only —
-    the price of the single-trace guarantee."""
+    (make_coalesced_generate_fn), padding short batches to a fixed
+    width so jit never retraces mid-service. Pad slots reuse seed 0 +
+    zeros and are sliced off before the host unpack, so they cost device
+    FLOPs only — the price of the single-trace guarantee.
+
+    TWO trace tiers, both compiled at startup (``warm``): W=1 and
+    W=width. A lone request (the idle-service common case) dispatches
+    through the W=1 program at 1× sweep FLOPs instead of paying width×
+    for padding; any batch of 2+ pads to the full width. Both tiers are
+    shape-specializations of the SAME jitted function over the SAME
+    per-slot sweep body, so slot outputs are bit-identical across tiers
+    and vs the single-request program (asserted in tests/test_cli.py)."""
 
     def __init__(self, coal, store, cfg, width: int):
         self.coal, self.store, self.cfg, self.width = \
@@ -1249,7 +1294,10 @@ class _CoalescedRunner:
                       np.zeros((b,), np.int32))
 
     def warm(self) -> None:
+        # compile both tiers up front: no request ever waits on a trace
         self.run([(0, self._zero)])
+        if self.width > 1:
+            self.run([(0, self._zero)] * 2)
 
     def run(self, items):
         """items: [(seed, (seed_bar, chord, key_sig)), ...] with
@@ -1261,7 +1309,7 @@ class _CoalescedRunner:
         from musicvae_tpu.ops.pack import unpack_bits_np
 
         n = len(items)
-        pad = self.width - n
+        pad = (1 if n == 1 else self.width) - n
         seeds = [s for s, _ in items] + [0] * pad
         stacks = [np.stack([a[i] for _, a in items]
                            + [self._zero[i]] * pad) for i in range(3)]
@@ -2036,6 +2084,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
+    if args.cmd == "describe" and not os.environ.get("JAX_PLATFORMS"):
+        # inspect-only subcommand: pin the CPU backend before anything
+        # touches jax, so a read-only `describe` never connects to (or
+        # hangs on) the TPU. Done HERE — the CLI process boundary — not
+        # inside cmd_describe, so in-process callers keep their backend.
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass    # backend already initialized by an embedding caller
     plats = os.environ.get("JAX_PLATFORMS")
     if plats:
         # honor the standard env var even where an ambient sitecustomize

@@ -27,6 +27,16 @@ class MidiSpec:
     binarize_threshold: float = 0.5      # generation-time Bernoulli threshold
     velocity: int = 100                  # writer: velocity for emitted notes
     tempo_bpm: float = 120.0             # writer: fixed tempo
+    # Ingestion cap: max notes per MIDI file (fixed-shape padded event
+    # tensors need a bound; dense classical piano pieces can exceed the
+    # default — CLI `--max-events` raises it per run).
+    max_events: int = 4096
+    # A file whose declared time signature (0x58 meta) implies a bar
+    # length ≠ steps_per_bar is a hard SMFError by default — silent 4/4
+    # chunking of a 3/4 corpus produces wrong bar boundaries everywhere.
+    # True forces config-meter chunking anyway (CLI
+    # `--ignore-time-signature`). SEMANTICS.md §1.
+    ignore_time_signature: bool = False
 
     @property
     def steps_per_bar(self) -> int:
@@ -46,6 +56,19 @@ class ModelSpec:
     z_phrase_dim: int = 256              # phrase-level latent (hier only)
     enc_channels: Tuple[int, ...] = (16, 32, 64, 128, 128)
     dec_channels: Tuple[int, ...] = (128, 128, 64, 32, 16)
+    # Conv stem/head family. "conv": the parity pyramid (reference
+    # behavior, torch-convertible). "patch": the TPU-first MXU layout —
+    # space-to-depth patchify the [96,128] bar into patch_size patches
+    # (pt·pp input channels), wide-channel stack, and a depth-to-space
+    # decoder head instead of the 16→1-channel deconv. The round-3 MFU
+    # attribution pinned the parity stem's 1-channel first conv and
+    # 16→1 head (contractions 9/144 vs 128×128 MXU tiles) as the
+    # utilization ceiling; "patch" is the redesign that removes it
+    # (models/layers.py PatchTrunk/PatchHead, measured in BASELINE.md).
+    # With stem="patch", enc_channels = the patch-stack widths (first
+    # layer stride 1, rest stride 2) and dec_channels its mirror.
+    stem: str = "conv"
+    patch_size: Tuple[int, int] = (8, 16)
     bar_feat_dim: int = 256              # per-bar feature vector (GRU input)
     gru_hidden: int = 256                # sequence/conductor GRU width
     num_bars: int = 1                    # bars per training example
@@ -235,9 +258,33 @@ C2_CROPPED = Config(
     train=TrainSpec(batch_size=64, beta_warmup_steps=4000),
 )
 
+# TPU-first MXU variant of C2 (beyond-reference, round-4): the parity
+# architecture is pinned at 13–15% MFU by its own channel shapes
+# (BASELINE.md utilization notes); this config swaps in the patch
+# stem/head (ModelSpec.stem docstring) with every contraction ≥ 1152 and
+# every width a multiple of 128. Same training pipeline, loss, latent
+# core, generation scan, and corpus; larger capacity (the point is to
+# FILL the chip). Quality parity vs c2_gru_4bar at equal step budget +
+# the measured MFU live in BASELINE.md.
+C2_MXU = Config(
+    name="c2_mxu",
+    model=ModelSpec(kind="gru_seq", num_bars=4, z_dim=128,
+                    stem="patch", patch_size=(8, 16),
+                    enc_channels=(256, 256, 512),
+                    dec_channels=(512, 256, 256),
+                    bar_feat_dim=256, gru_hidden=512),
+    # free_bits on by default here: the wide patch decoder is strong
+    # enough to ignore z entirely (measured: KL collapsed to 0.3 nats and
+    # eval F1 halved in the round-4 parity soak without the floor —
+    # logs/r4/). The floor is the standard MusicVAE-lineage guard; the
+    # parity configs keep the reference's plain annealed ELBO.
+    train=TrainSpec(batch_size=64, beta_warmup_steps=4000,
+                    free_bits=0.125),
+)
+
 _CONFIGS = {c.name: c for c in
             (C1_CONV_BAR, C2_GRU_4BAR, C3_HIER_16BAR, C4_COND, C5_GEN_SWEEP,
-             C2_CROPPED)}
+             C2_CROPPED, C2_MXU)}
 
 
 def get_config(name: str) -> Config:

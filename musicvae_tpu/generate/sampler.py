@@ -102,7 +102,11 @@ def _sweep_body(cfg: Config, model: PianoRollVAE, mesh=None):
     endpoints encoded the sweep MORPHS from piece A to piece B; for hier
     models ``z_phrase1`` instead slerps the PHRASE latent (the piece
     identity) bar-by-bar from z_phrase0 to z_phrase1 while the per-bar
-    z path keeps its usual granularity. Omitted cond chord/key_sig draw
+    z path keeps its usual granularity. On hier models ``z0``/``z1`` are
+    ALSO meaningful: there they pin the endpoints of the PER-BAR z slerp
+    (latent_path draws hier bar latents per bar, so the path morphs the
+    local MATERIAL rather than the piece identity — the complementary
+    knob to z_phrase1; the two compose). Omitted cond chord/key_sig draw
     random classes on device.
     """
     g = cfg.gen

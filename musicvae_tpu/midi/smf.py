@@ -31,6 +31,12 @@ class MidiFile:
     ticks_per_quarter: int
     notes: Tuple[Note, ...]          # sorted by (start_tick, pitch, end_tick)
     tempo_us_per_quarter: int = 500_000   # first tempo meta, default 120bpm
+    # DISTINCT declared time signatures (numerator, denominator) in order
+    # of appearance across all tracks; empty = none declared (SMF default
+    # 4/4). The tensorizer validates these against MidiSpec so a 3/4 or
+    # 6/8 corpus can never silently mis-chunk into 4/4 bars
+    # (midi/tensorize.check_time_signatures, SEMANTICS.md §1).
+    time_signatures: Tuple[Tuple[int, int], ...] = ()
 
 
 class SMFError(ValueError):
@@ -76,6 +82,7 @@ def parse_smf(data: bytes) -> MidiFile:
     pos = 8 + hlen
     notes: List[Note] = []
     tempo: Optional[int] = None
+    timesigs: List[Tuple[int, int]] = []
 
     for _ in range(ntrks):
         if pos + 8 > len(data):
@@ -160,6 +167,12 @@ def parse_smf(data: bytes) -> MidiFile:
                 tpos += mlen
                 if meta_type == 0x51 and mlen == 3 and tempo is None:
                     tempo = int.from_bytes(payload, "big")
+                if meta_type == 0x58 and mlen >= 2:
+                    # time signature: numerator, denominator = 2^dd
+                    # (clock/32nd bytes ignored — grid-irrelevant)
+                    ts = (payload[0], 1 << payload[1])
+                    if ts not in timesigs:
+                        timesigs.append(ts)
                 if meta_type == 0x2F:         # end of track
                     break
             elif status in (0xF0, 0xF7):      # sysex
@@ -181,6 +194,7 @@ def parse_smf(data: bytes) -> MidiFile:
         ticks_per_quarter=division,
         notes=tuple(notes),
         tempo_us_per_quarter=tempo if tempo is not None else 500_000,
+        time_signatures=tuple(timesigs),
     )
 
 

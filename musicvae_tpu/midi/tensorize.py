@@ -36,17 +36,46 @@ def quantize_ticks(ticks: np.ndarray, tpq: int, steps_per_quarter: int
     return (2 * t * steps_per_quarter + tpq) // (2 * tpq)
 
 
+def check_time_signatures(timesigs, spec: MidiSpec) -> None:
+    """SEMANTICS.md §1: every declared time signature must imply the
+    config's bar length — steps/bar = steps_per_quarter · 4·num/den must
+    equal spec.steps_per_bar (exact integer cross-multiplication, so
+    equivalent meters like 8/8 vs 4/4 pass). A mismatch is a hard
+    SMFError: chunking a 3/4 file on a 4/4 grid silently corrupts every
+    bar boundary. ``spec.ignore_time_signature`` (CLI
+    --ignore-time-signature) forces config-meter chunking anyway.
+    ``timesigs``: (num, den) pairs; empty = none declared (SMF default
+    4/4, always accepted)."""
+    if spec.ignore_time_signature:
+        return
+    spq, spb = spec.steps_per_quarter, spec.steps_per_bar
+    for num, den in timesigs or ():
+        if num <= 0 or den <= 0 or spq * 4 * num != spb * den:
+            implied = spq * 4 * num / den if den else float("nan")
+            raise smf.SMFError(
+                f"file declares time signature {num}/{den} "
+                f"(~{implied:g} steps/bar) but the config chunks "
+                f"{spec.quarters_per_bar}/4 bars of {spb} steps; fix the "
+                f"corpus or pass --ignore-time-signature "
+                f"(MidiSpec.ignore_time_signature) to force "
+                f"{spec.quarters_per_bar}/4 chunking")
+
+
 def notes_to_events(
     midi: smf.MidiFile,
     spec: MidiSpec,
-    max_events: int,
+    max_events: int = None,
 ) -> Tuple[np.ndarray, int]:
     """Host-side: quantize a parsed MIDI file into a padded event tensor.
 
     Returns (events[max_events, 3] int32 with columns (s_on, s_off, pitch),
     total_steps) where total_steps is the §3 bar-padded length. Padded slots
-    are all-zero (s_on == s_off ⇒ no contribution).
+    are all-zero (s_on == s_off ⇒ no contribution). ``max_events`` defaults
+    to ``spec.max_events``.
     """
+    if max_events is None:
+        max_events = spec.max_events
+    check_time_signatures(midi.time_signatures, spec)
     spq = spec.steps_per_quarter
     spb = spec.steps_per_bar
     n = len(midi.notes)
@@ -54,7 +83,9 @@ def notes_to_events(
         # SMFError (not ValueError): an input-data limit, and the native
         # path maps its overflow to SMFError — both fallbacks must surface
         # identically to callers (cli's clean-error handling included)
-        raise smf.SMFError(f"{n} notes > max_events={max_events}")
+        raise smf.SMFError(
+            f"{n} notes > max_events={max_events}; raise the cap with "
+            f"--max-events (MidiSpec.max_events)")
     events = np.zeros((max_events, 3), dtype=np.int32)
     max_off = 0
     if n:
@@ -112,21 +143,25 @@ def crop_view(roll_or_bars: jax.Array, spec: MidiSpec) -> jax.Array:
 
 
 def midi_bytes_to_bars(data: bytes, spec: MidiSpec,
-                       max_events: int = 4096,
+                       max_events: int = None,
                        use_native: bool = True) -> jax.Array:
     """Full pipeline: SMF bytes → bars[n_bars, steps_per_bar, 128] float32.
 
     Host-side parse+quantize runs through the C++ component
     (musicvae_tpu/native) when built — identical semantics, fuzzed in
     tests/test_native_smf.py; the pure-Python codec is the fallback.
+    ``max_events`` defaults to ``spec.max_events``.
     """
+    if max_events is None:
+        max_events = spec.max_events
     events = total_steps = None
     if use_native:
         from musicvae_tpu import native
         if native.available():
             try:
-                nat_notes, tpq, _ = native.parse_smf(data,
-                                                     max_notes=max_events)
+                nat_notes, tpq, _, timesigs = native.parse_smf(
+                    data, max_notes=max_events)
+                check_time_signatures(timesigs, spec)
                 events, total_steps = native.quantize_events(
                     nat_notes, tpq, spec.steps_per_quarter,
                     spec.steps_per_bar, max_events)
@@ -159,11 +194,11 @@ def events_to_roll_np(events: np.ndarray, total_steps: int,
 
 
 def corpus_to_bars(datas: Sequence[bytes], spec: MidiSpec,
-                   max_events: int = 4096, as_uint8: bool = False) -> list:
+                   max_events: int = None, as_uint8: bool = False) -> list:
     """Corpus tensorization, all host-side: one multithreaded C++ pass when
     the native library is built (pure-Python + numpy fallback).
     Bit-identical to the per-piece jax path (tested) with zero device
-    round-trips.
+    round-trips. ``max_events`` defaults to ``spec.max_events``.
 
     Returns a list of [n_bars_i, steps_per_bar, 128] arrays — float32 by
     default, uint8 with ``as_uint8`` (the dataset cache format; the f32
@@ -171,12 +206,15 @@ def corpus_to_bars(datas: Sequence[bytes], spec: MidiSpec,
     """
     from musicvae_tpu import native
 
+    if max_events is None:
+        max_events = spec.max_events
     dtype = np.uint8 if as_uint8 else np.float32
     if native.available():
         try:
             rolls = native.tensorize_corpus(
                 list(datas), spec.steps_per_quarter, spec.steps_per_bar,
-                max_notes=max_events)
+                max_notes=max_events,
+                strict_timesig=not spec.ignore_time_signature)
         except ValueError as e:
             raise smf.SMFError(str(e)) from None
         return [(r if as_uint8 else r.astype(np.float32)).reshape(

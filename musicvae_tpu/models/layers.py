@@ -78,6 +78,94 @@ class ConvTrunk(nn.Module):
         return h.reshape(h.shape[0], -1)
 
 
+def space_to_depth(x: jax.Array, pt: int, pp: int) -> jax.Array:
+    """[B, T, P] → [B, T/pt, P/pp, pt·pp]: fold (pt × pp) patches into
+    channels. The MXU-first input layout: a [96,128] binary bar has ONE
+    channel, so its first conv contracts over 3·3·1 = 9 elements against
+    the MXU's 128-wide tiles (docs/PALLAS_NOTES.md pinned this as the MFU
+    ceiling); patchified, the first contraction is 3·3·pt·pp ≥ 1152."""
+    b, t, p = x.shape
+    x = x.reshape(b, t // pt, pt, p // pp, pp)
+    return x.transpose(0, 1, 3, 2, 4).reshape(b, t // pt, p // pp, pt * pp)
+
+
+def depth_to_space(x: jax.Array, pt: int, pp: int) -> jax.Array:
+    """Exact inverse of space_to_depth: [B, t0, p0, pt·pp] → [B, t0·pt,
+    p0·pp]. The decoder-head mirror: the parity head's final 16→1-channel
+    deconv (contraction 144, output depth 1 — the other MXU-starved op)
+    becomes a full-width conv emitting pt·pp logit channels, unfolded."""
+    b, t0, p0, c = x.shape
+    x = x.reshape(b, t0, p0, pt, pp).transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, t0 * pt, p0 * pp)
+
+
+class PatchTrunk(nn.Module):
+    """MXU-first encoder trunk (the round-4 `stem="patch"` variant):
+    space-to-depth patchify [B,T,P,1] → [B,T/pt,P/pp,pt·pp], then a
+    wide-channel conv stack (first layer stride 1, the rest stride 2).
+    Every matmul's contraction dim is ≥ 9·pt·pp and every output depth a
+    multiple of 128 — full MXU tiles end to end, vs the parity trunk's
+    1-channel first conv (contraction 9). Opt-in: the parity-exact
+    ConvTrunk stays the default (ModelSpec.stem)."""
+
+    channels: Sequence[int]
+    patch: Tuple[int, int] = (8, 16)
+    dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pt, pp = self.patch
+        dt = _dtype(self.dtype)
+        h = space_to_depth(x[..., 0], pt, pp).astype(dt)
+        for i, ch in enumerate(self.channels):
+            h = nn.Conv(ch, (3, 3),
+                        strides=(1, 1) if i == 0 else (2, 2),
+                        padding=((1, 1), (1, 1)),
+                        dtype=dt, param_dtype=jnp.float32,
+                        name=f"Conv_{i}")(h)
+            h = nn.gelu(h)
+        return h.reshape(h.shape[0], -1)
+
+
+class PatchHead(nn.Module):
+    """MXU-first decoder head: dense → coarse [t0,p0] grid → wide
+    ConvTranspose stack → stride-1 conv emitting pt·pp logit channels →
+    depth-to-space to [T,P]. Mirrors PatchTrunk (see its docstring)."""
+
+    channels: Sequence[int]                    # e.g. (512, 256, 256)
+    patch: Tuple[int, int] = (8, 16)
+    steps_per_bar: int = 96
+    num_pitches: int = 128
+    dtype: str = "bfloat16"
+    logits_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, v: jax.Array) -> jax.Array:
+        pt, pp = self.patch
+        dt = _dtype(self.dtype)
+        n_up = len(self.channels) - 1
+        t0 = self.steps_per_bar // pt // (2 ** n_up)
+        p0 = self.num_pitches // pp // (2 ** n_up)
+        if t0 * pt * 2 ** n_up != self.steps_per_bar or \
+                p0 * pp * 2 ** n_up != self.num_pitches:
+            raise ValueError(
+                f"patch {self.patch} with {n_up} upsamples does not tile "
+                f"[{self.steps_per_bar}, {self.num_pitches}]")
+        h = nn.Dense(t0 * p0 * self.channels[0], dtype=dt,
+                     param_dtype=jnp.float32)(v.astype(dt))
+        h = nn.gelu(h)
+        h = h.reshape(h.shape[0], t0, p0, self.channels[0])
+        for ch in self.channels[1:]:
+            h = nn.ConvTranspose(ch, (3, 3), strides=(2, 2), padding="SAME",
+                                 transpose_kernel=True,
+                                 dtype=dt, param_dtype=jnp.float32)(h)
+            h = nn.gelu(h)
+        h = nn.Conv(pt * pp, (3, 3), strides=(1, 1),
+                    padding=((1, 1), (1, 1)),
+                    dtype=dt, param_dtype=jnp.float32)(h)
+        return depth_to_space(h, pt, pp).astype(_dtype(self.logits_dtype))
+
+
 class BarFeat(nn.Module):
     """Per-bar feature vector for GRU inputs / prev-bar conditioning."""
 
@@ -85,12 +173,18 @@ class BarFeat(nn.Module):
     channels: Sequence[int]
     dtype: str = "bfloat16"
     first_conv_pallas: bool = False
+    stem: str = "conv"                  # ModelSpec.stem
+    patch: Tuple[int, int] = (8, 16)
 
     @nn.compact
     def __call__(self, bar: jax.Array) -> jax.Array:
         # bar: [B, T, P] binary roll
-        h = ConvTrunk(self.channels, self.dtype,
-                      self.first_conv_pallas)(bar[..., None])
+        if self.stem == "patch":
+            h = PatchTrunk(self.channels, self.patch,
+                           self.dtype)(bar[..., None])
+        else:
+            h = ConvTrunk(self.channels, self.dtype,
+                          self.first_conv_pallas)(bar[..., None])
         h = nn.Dense(self.feat_dim, dtype=_dtype(self.dtype),
                      param_dtype=jnp.float32)(h)
         return nn.tanh(h)

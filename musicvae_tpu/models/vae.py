@@ -53,7 +53,9 @@ class BarDecoder(nn.Module):
         if spec.use_prev_bar:
             self.prev_feat = layers.BarFeat(spec.bar_feat_dim,
                                             spec.enc_channels, spec.dtype,
-                                            spec.use_pallas_conv1)
+                                            spec.use_pallas_conv1,
+                                            stem=spec.stem,
+                                            patch=spec.patch_size)
         if spec.kind != "conv_bar":
             self.h_init = nn.Dense(spec.gru_hidden, dtype=dt,
                                    param_dtype=jnp.float32)
@@ -64,9 +66,15 @@ class BarDecoder(nn.Module):
                                       param_dtype=jnp.float32)
             self.conductor = nn.GRUCell(features=spec.gru_hidden, dtype=dt,
                                         param_dtype=jnp.float32)
-        self.head = layers.BarDecoderHead(
-            spec.dec_channels, self.midi.steps_per_bar,
-            self.midi.num_pitches, spec.dtype, spec.logits_dtype)
+        if spec.stem == "patch":
+            self.head = layers.PatchHead(
+                spec.dec_channels, spec.patch_size,
+                self.midi.steps_per_bar, self.midi.num_pitches,
+                spec.dtype, spec.logits_dtype)
+        else:
+            self.head = layers.BarDecoderHead(
+                spec.dec_channels, self.midi.steps_per_bar,
+                self.midi.num_pitches, spec.dtype, spec.logits_dtype)
 
     # -- helpers -------------------------------------------------------------
 
@@ -214,14 +222,19 @@ class PianoRollVAE(nn.Module):
     def setup(self):
         spec = self.spec
         if spec.kind == "conv_bar":
-            self.enc_trunk = layers.ConvTrunk(spec.enc_channels, spec.dtype,
-                                              spec.use_pallas_conv1)
+            if spec.stem == "patch":
+                self.enc_trunk = layers.PatchTrunk(
+                    spec.enc_channels, spec.patch_size, spec.dtype)
+            else:
+                self.enc_trunk = layers.ConvTrunk(
+                    spec.enc_channels, spec.dtype, spec.use_pallas_conv1)
             self.z_head = layers.GaussianHead(spec.z_dim, spec.dtype)
         else:
             feat_cls = nn.remat(layers.BarFeat) if self.remat \
                 else layers.BarFeat
             self.enc_feat = feat_cls(spec.bar_feat_dim, spec.enc_channels,
-                                     spec.dtype, spec.use_pallas_conv1)
+                                     spec.dtype, spec.use_pallas_conv1,
+                                     stem=spec.stem, patch=spec.patch_size)
             self.enc_gru = layers.ScanGRU(spec.gru_hidden, spec.dtype)
             if spec.kind == "hier":
                 self.phrase_head = layers.GaussianHead(spec.z_phrase_dim,
@@ -372,6 +385,12 @@ class PianoRollVAE(nn.Module):
             # [B,zp] (one piece identity per sweep) or [B,N,zp] (a per-bar
             # phrase path, e.g. a two-endpoint identity morph — sampler
             # _sweep_body z_phrase1)
+            if z_phrase.ndim == 3 and z_phrase.shape[:2] != (b, n):
+                raise ValueError(
+                    f"per-bar z_phrase path has shape {z_phrase.shape}; "
+                    f"its leading axes must match (batch, num_bars)="
+                    f"({b}, {n}) — a z_phrase1 morph path must supply one "
+                    "phrase latent per generated bar")
             xs["z_phrase"] = (z_phrase if z_phrase.ndim == 3
                               else jnp.broadcast_to(
                                   z_phrase[:, None, :],

@@ -31,9 +31,13 @@ _ERRORS = {
     -2: "SMPTE division unsupported",
     -3: "truncated event",
     -4: "unknown status byte",
-    -5: "note/event overflow",
+    -5: "note/event overflow; raise the cap with --max-events "
+        "(MidiSpec.max_events)",
     -6: "unsupported SMF format",
     -7: "tick overflow (> INT32_MAX)",
+    -8: "time signature mismatch (a declared meter implies a bar length "
+        "different from the config's; fix the corpus or pass "
+        "--ignore-time-signature to force config-meter chunking)",
 }
 
 
@@ -102,6 +106,7 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
     ]
     lib.mvae_quantize_events.restype = ctypes.c_int32
     lib.mvae_quantize_events.argtypes = [
@@ -113,13 +118,14 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.mvae_corpus_totals.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
     ]
     lib.mvae_corpus_rasterize.restype = ctypes.c_int32
     lib.mvae_corpus_rasterize.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8),
     ]
 
 
@@ -128,10 +134,14 @@ def available() -> bool:
 
 
 def parse_smf(data: bytes, max_notes: int = 65536
-              ) -> Tuple[np.ndarray, int, int]:
-    """SMF bytes → (notes[n,4] int32 (start,end,pitch,vel), tpq, tempo_us).
-
-    Raises ValueError on malformed input (same classes as midi/smf.py).
+              ) -> Tuple[np.ndarray, int, int, tuple]:
+    """SMF bytes → (notes[n,4] int32 (start,end,pitch,vel), tpq, tempo_us,
+    time_signatures) — time_signatures mirrors midi/smf.py
+    MidiFile.time_signatures: distinct (num, den) pairs in order of
+    appearance (up to 4 recorded; a ``(0, 0)`` sentinel is appended when
+    the file declared more distinct signatures than that, so strict
+    checks fail closed). Raises ValueError on malformed input (same
+    classes as midi/smf.py).
     """
     lib = load()
     if lib is None:
@@ -139,22 +149,32 @@ def parse_smf(data: bytes, max_notes: int = 65536
     notes = np.empty((max_notes, 4), dtype=np.int32)
     tpq = ctypes.c_int32()
     tempo = ctypes.c_int32()
+    ts = np.zeros(9, dtype=np.int32)
     n = lib.mvae_parse_smf(
         data, len(data),
         notes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_notes,
-        ctypes.byref(tpq), ctypes.byref(tempo))
+        ctypes.byref(tpq), ctypes.byref(tempo),
+        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if n < 0:
         raise ValueError(f"native SMF parse failed: {_ERRORS.get(n, n)}")
-    return notes[:n].copy(), tpq.value, tempo.value
+    n_ts = int(ts[0])
+    timesigs = tuple((int(ts[1 + 2 * i]), int(ts[2 + 2 * i]))
+                     for i in range(min(n_ts, 4)))
+    if n_ts > 4:
+        timesigs += ((0, 0),)
+    return notes[:n].copy(), tpq.value, tempo.value, timesigs
 
 
 def tensorize_corpus(datas, spq: int, steps_per_bar: int,
                      max_notes: int = 65536,
-                     num_threads: int = 0) -> list:
+                     num_threads: int = 0,
+                     strict_timesig: bool = True) -> list:
     """Whole corpus → list of binary uint8 rolls [total_steps_i, 128].
 
     One multithreaded native pass (parse + quantize + rasterize per
     SEMANTICS.md §1–§4). num_threads=0 uses the host CPU count.
+    ``strict_timesig`` (SEMANTICS.md §1): error on any file whose
+    declared time signature implies a bar length ≠ steps_per_bar.
     """
     lib = load()
     if lib is None:
@@ -169,8 +189,9 @@ def tensorize_corpus(datas, spq: int, steps_per_bar: int,
     np.cumsum([len(d) for d in datas], out=offsets[1:])
     totals = np.zeros(n, dtype=np.int64)
     off_p = offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    strict = 1 if strict_timesig else 0
     rc = lib.mvae_corpus_totals(
-        blob, off_p, n, spq, steps_per_bar, max_notes, num_threads,
+        blob, off_p, n, spq, steps_per_bar, max_notes, num_threads, strict,
         totals.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if rc < 0:
         raise ValueError(f"native corpus parse failed: {_ERRORS.get(rc, rc)}")
@@ -178,7 +199,7 @@ def tensorize_corpus(datas, spq: int, steps_per_bar: int,
     np.cumsum(totals, out=roll_offsets[1:])
     rolls = np.zeros((int(roll_offsets[-1]), 128), dtype=np.uint8)
     rc = lib.mvae_corpus_rasterize(
-        blob, off_p, n, spq, steps_per_bar, max_notes, num_threads,
+        blob, off_p, n, spq, steps_per_bar, max_notes, num_threads, strict,
         roll_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         rolls.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc < 0:

@@ -62,11 +62,19 @@ extern "C" {
 //  -3 truncated event             -6 unsupported format
 //  -7 tick overflow (> INT32_MAX; midi/smf.py enforces the same limit so
 //     the two parsers keep acceptance parity on extreme inputs)
+//  -8 time signature mismatch (corpus functions under strict_timesig)
+//
+// out_timesig (nullable): [9] int32 — [0] = count of DISTINCT 0x58 time
+// signatures across all tracks (0 = none declared ⇒ SMF default 4/4),
+// then up to four (numerator, denominator) pairs in order of appearance.
+// A denominator exponent > 15 is recorded as den = 0 (nonsensical meta;
+// fails any strict check). Mirrors midi/smf.py MidiFile.time_signatures.
 int32_t mvae_parse_smf(const uint8_t* data, int64_t len,
                        int32_t* out_notes /* [max_notes * 4]: s,e,pitch,vel */,
                        int32_t max_notes,
                        int32_t* out_tpq,
-                       int32_t* out_tempo_us) {
+                       int32_t* out_tempo_us,
+                       int32_t* out_timesig) {
   Reader r{data, static_cast<size_t>(len)};
   if (len < 14 || std::memcmp(data, "MThd", 4) != 0) return -1;
   r.pos = 4;
@@ -83,6 +91,8 @@ int32_t mvae_parse_smf(const uint8_t* data, int64_t len,
   std::vector<Note> notes;
   notes.reserve(256);
   int32_t tempo = -1;
+  int32_t ts_num[4], ts_den[4];
+  int32_t n_ts = 0;  // distinct time signatures seen (stores first 4)
 
   for (uint32_t trk = 0; trk < ntrks; ++trk) {
     if (r.pos + 8 > r.n) break;  // tolerate fewer tracks than declared
@@ -145,6 +155,18 @@ int32_t mvae_parse_smf(const uint8_t* data, int64_t len,
         if (mt == 0x51 && mlen == 3 && tempo < 0)
           tempo = (data[r.pos] << 16) | (data[r.pos + 1] << 8)
                   | data[r.pos + 2];
+        if (mt == 0x58 && mlen >= 2) {
+          int32_t num = data[r.pos];
+          int32_t dd = data[r.pos + 1];
+          int32_t den = dd <= 15 ? (1 << dd) : 0;
+          bool seen = false;
+          for (int32_t i = 0; i < n_ts && i < 4; ++i)
+            if (ts_num[i] == num && ts_den[i] == den) { seen = true; break; }
+          if (!seen) {
+            if (n_ts < 4) { ts_num[n_ts] = num; ts_den[n_ts] = den; }
+            ++n_ts;
+          }
+        }
         bool eot = (mt == 0x2F);
         r.skip(mlen);
         if (eot) break;
@@ -186,6 +208,13 @@ int32_t mvae_parse_smf(const uint8_t* data, int64_t len,
   }
   *out_tpq = static_cast<int32_t>(division);
   *out_tempo_us = tempo < 0 ? 500000 : tempo;
+  if (out_timesig) {
+    out_timesig[0] = n_ts;
+    for (int32_t i = 0; i < 4; ++i) {
+      out_timesig[1 + 2 * i] = i < n_ts ? ts_num[i] : 0;
+      out_timesig[2 + 2 * i] = i < n_ts ? ts_den[i] : 0;
+    }
+  }
   return static_cast<int32_t>(notes.size());
 }
 
@@ -234,16 +263,34 @@ int32_t mvae_quantize_events(const int32_t* notes /* [n*4] */, int32_t n,
 
 namespace {
 
+// Every recorded time signature must imply the config's bar length:
+// spq * 4 * num == steps_per_bar * den (exact integer cross-multiply, so
+// equivalent meters like 8/8 vs 4/4 pass). ts: the [9] out_timesig array.
+// More than 4 distinct signatures (unverifiable tail) fails closed.
+bool timesig_ok(const int32_t* ts, int32_t spq, int32_t steps_per_bar) {
+  int32_t n = ts[0];
+  if (n > 4) return false;
+  for (int32_t i = 0; i < n; ++i) {
+    int64_t num = ts[1 + 2 * i], den = ts[2 + 2 * i];
+    if (num <= 0 || den <= 0) return false;
+    if (static_cast<int64_t>(spq) * 4 * num
+        != static_cast<int64_t>(steps_per_bar) * den) return false;
+  }
+  return true;
+}
+
 // Re-parse one file and rasterize into out (uint8 [total_steps, 128],
 // caller-zeroed). Returns <0 on error, else 0.
 int32_t rasterize_one(const uint8_t* data, int64_t len, int32_t spq,
                       int32_t steps_per_bar, int32_t max_notes,
+                      int32_t strict_timesig,
                       uint8_t* out, int64_t total_steps) {
   std::vector<int32_t> notes(static_cast<size_t>(max_notes) * 4);
-  int32_t tpq = 0, tempo = 0;
+  int32_t tpq = 0, tempo = 0, ts[9];
   int32_t n = mvae_parse_smf(data, len, notes.data(), max_notes,
-                             &tpq, &tempo);
+                             &tpq, &tempo, ts);
   if (n < 0) return n;
+  if (strict_timesig && !timesig_ok(ts, spq, steps_per_bar)) return -8;
   for (int32_t i = 0; i < n; ++i) {
     int64_t s = (2LL * notes[i * 4 + 0] * spq + tpq) / (2LL * tpq);
     int64_t e = (2LL * notes[i * 4 + 1] * spq + tpq) / (2LL * tpq);
@@ -286,14 +333,17 @@ extern "C" {
 int32_t mvae_corpus_totals(const uint8_t* blob, const int64_t* offsets,
                            int32_t n_files, int32_t spq,
                            int32_t steps_per_bar, int32_t max_notes,
-                           int32_t num_threads, int64_t* totals_out) {
+                           int32_t num_threads, int32_t strict_timesig,
+                           int64_t* totals_out) {
   std::atomic<int32_t> err{0};
   parallel_for(n_files, num_threads, [&](int32_t f) {
     std::vector<int32_t> notes(static_cast<size_t>(max_notes) * 4);
-    int32_t tpq = 0, tempo = 0;
+    int32_t tpq = 0, tempo = 0, ts[9];
     int32_t n = mvae_parse_smf(blob + offsets[f],
                                offsets[f + 1] - offsets[f],
-                               notes.data(), max_notes, &tpq, &tempo);
+                               notes.data(), max_notes, &tpq, &tempo, ts);
+    if (n >= 0 && strict_timesig && !timesig_ok(ts, spq, steps_per_bar))
+      n = -8;
     if (n < 0) {
       int32_t expected = 0;
       err.compare_exchange_strong(expected, n);
@@ -319,7 +369,7 @@ int32_t mvae_corpus_totals(const uint8_t* blob, const int64_t* offsets,
 int32_t mvae_corpus_rasterize(const uint8_t* blob, const int64_t* offsets,
                               int32_t n_files, int32_t spq,
                               int32_t steps_per_bar, int32_t max_notes,
-                              int32_t num_threads,
+                              int32_t num_threads, int32_t strict_timesig,
                               const int64_t* roll_offsets,
                               uint8_t* rolls_out) {
   std::atomic<int32_t> err{0};
@@ -328,6 +378,7 @@ int32_t mvae_corpus_rasterize(const uint8_t* blob, const int64_t* offsets,
     int32_t rc = rasterize_one(blob + offsets[f],
                                offsets[f + 1] - offsets[f],
                                spq, steps_per_bar, max_notes,
+                               strict_timesig,
                                rolls_out + roll_offsets[f] * 128, total);
     if (rc < 0) {
       int32_t expected = 0;

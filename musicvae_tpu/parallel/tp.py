@@ -37,6 +37,11 @@ DEFAULT_TP_RULES: List[Tuple[str, P]] = [
     (r"decoder/head/ConvTranspose_[0-4]/kernel$",
      P(None, None, MODEL_AXIS, None)),
     (r"decoder/head/ConvTranspose_[0-4]/bias$", P(MODEL_AXIS)),
+    # patch-stem head (stem="patch"): the final stride-1 conv emits
+    # pt·pp (≥128) logit channels — shardable, unlike the parity head's
+    # 1-channel deconv
+    (r"decoder/head/Conv_0/kernel$", P(None, None, None, MODEL_AXIS)),
+    (r"decoder/head/Conv_0/bias$", P(MODEL_AXIS)),
     # bar feature extractors: conv kernels (kh, kw, in, out) on out-channels
     # + the trunk-flatten dense
     (r"(enc_feat|prev_feat).*/Conv_[0-4]/kernel$",

@@ -96,12 +96,16 @@ def create_state(cfg: Config, rng: Optional[jax.Array] = None
 
 
 def elbo_from_outputs(cfg: Config, logits, x, latents, beta,
-                      use_pallas: bool = False, free_bits: float = 0.0):
+                      use_pallas: bool = False, free_bits: float = 0.0,
+                      pallas_dual: bool = False):
     """recon + beta * (sum of per-level KLs), batch-mean (ops/losses.py).
 
     When ``use_pallas`` the masked-BCE reduction runs through the fused
     Pallas TPU kernel (ops/fused_elbo.py); numerics match the jnp path to
-    the tolerance asserted in tests/test_fused_elbo.py.
+    the tolerance asserted in tests/test_fused_elbo.py. ``pallas_dual``
+    selects the dual-output forward (grad tile emitted alongside the sum
+    — for DIFFERENTIATED graphs, i.e. the train step; grad-free eval
+    keeps the single-output kernel, which skips the grad-tile HBM write).
 
     ``free_bits`` > 0 floors each latent dimension's batch-mean KL in the
     MINIMIZED objective (ops/losses.kl_free_bits, per level); the reported
@@ -113,13 +117,15 @@ def elbo_from_outputs(cfg: Config, logits, x, latents, beta,
     mask = pitch_mask(cfg.midi)
     batch = logits.shape[0]
     if use_pallas:
-        from musicvae_tpu.ops.fused_elbo import masked_bce_sum_pallas
+        from musicvae_tpu.ops.fused_elbo import (masked_bce_sum_pallas,
+                                                 masked_bce_sum_pallas_dual)
+        kernel = (masked_bce_sum_pallas_dual if pallas_dual
+                  else masked_bce_sum_pallas)
         # f32 x up front: custom_vjp primals must be inexact for the bwd
         # rule (uint8 resident-gather rolls would otherwise need float0
         # cotangent plumbing); the kernel materializes padded inputs
         # anyway, so this costs nothing extra
-        recon = masked_bce_sum_pallas(logits, x.astype(jnp.float32),
-                                      mask) / batch
+        recon = kernel(logits, x.astype(jnp.float32), mask) / batch
     else:
         recon = losses.masked_bce_sum(logits, x, mask) / batch
     kl = sum(losses.kl_diag_gaussian(mu, lv) for mu, lv in latents) / batch
@@ -203,8 +209,12 @@ def _train_step_body(cfg: Config, model, opt,
             kw = {"chord": batch["chord"], "key_sig": batch["key_sig"]}
         logits, latents = model.apply({"params": params}, batch["x"], **kw,
                                       rngs={"latent": latent_rng})
+        # the train graph is differentiated: the dual-output kernel emits
+        # the BCE grad tile in the forward pass so the VJP is one fused
+        # scale instead of a second logits pass (ops/fused_elbo.py)
         return elbo_from_outputs(cfg, logits, batch["x"], latents, beta,
-                                 use_pallas, free_bits=t.free_bits)
+                                 use_pallas, free_bits=t.free_bits,
+                                 pallas_dual=True)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         beta = losses.beta_schedule(state.step, t.beta_max,

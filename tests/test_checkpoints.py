@@ -30,9 +30,20 @@ def _batch(cfg, seed=0):
 
 
 def test_config_json_roundtrip():
-    for cfg in (C1_CONV_BAR, C2_GRU_4BAR):
+    from musicvae_tpu.config import all_config_names, get_config
+    for name in all_config_names():        # incl. c2_mxu's tuple patch_size
+        cfg = get_config(name)
         back = checkpoints.config_from_json(checkpoints.config_to_json(cfg))
         assert back == cfg
+    # pre-round-4 checkpoint JSON (no stem/patch_size/max_events/
+    # ignore_time_signature keys) still restores with the defaults
+    import json
+    d = json.loads(checkpoints.config_to_json(C1_CONV_BAR))
+    for k in ("stem", "patch_size"):
+        d["model"].pop(k)
+    for k in ("max_events", "ignore_time_signature"):
+        d["midi"].pop(k)
+    assert checkpoints.config_from_json(json.dumps(d)) == C1_CONV_BAR
 
 
 def test_save_restore_roundtrip(tmp_path):

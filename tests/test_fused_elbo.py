@@ -178,3 +178,77 @@ def test_elbo_from_outputs_free_bits_objective():
     want = float(m["recon"]) + float(kl_free_bits(mu, logvar, fb)) / 4
     np.testing.assert_allclose(float(loss), want, rtol=1e-6)
     assert float(loss) > float(loss0)
+
+
+# --- dual-output forward (round-4, VERDICT r3 weak #2) -----------------------
+
+def test_bce_dual_forward_and_grad_match():
+    """The dual kernel's forward sum AND its precomputed-tile VJP match
+    the jnp reference — including on ragged row counts."""
+    from musicvae_tpu.ops.fused_elbo import masked_bce_sum_pallas_dual
+
+    for t in (96, 67):
+        logits, x, mask, *_ = _data(b=3, n=1, t=t)
+        got = masked_bce_sum_pallas_dual(logits, x, mask)
+        want = losses.masked_bce_sum(logits, x, mask)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+        g_dual = jax.grad(
+            lambda l: masked_bce_sum_pallas_dual(l, x, mask))(logits)
+        g_ref = jax.grad(
+            lambda l: losses.masked_bce_sum(l, x, mask))(logits)
+        np.testing.assert_allclose(np.asarray(g_dual), np.asarray(g_ref),
+                                   atol=1e-6)
+        # non-unit upstream cotangent scales the saved tile correctly
+        g2 = jax.grad(
+            lambda l: 3.5 * masked_bce_sum_pallas_dual(l, x, mask))(logits)
+        np.testing.assert_allclose(np.asarray(g2), 3.5 * np.asarray(g_ref),
+                                   atol=1e-5)
+
+
+def test_bce_dual_target_mask_cotangents():
+    from musicvae_tpu.ops.fused_elbo import masked_bce_sum_pallas_dual
+
+    logits, x, mask, *_ = _data(b=2, n=1)
+    dx_dual = jax.grad(
+        lambda xx: masked_bce_sum_pallas_dual(logits, xx, mask))(x)
+    dx_ref = jax.grad(
+        lambda xx: losses.masked_bce_sum(logits, xx, mask))(x)
+    np.testing.assert_allclose(np.asarray(dx_dual), np.asarray(dx_ref),
+                               atol=1e-5)
+    dm_dual = jax.grad(
+        lambda m: masked_bce_sum_pallas_dual(logits, x, m))(mask)
+    dm_ref = jax.grad(
+        lambda m: losses.masked_bce_sum(logits, x, m))(mask)
+    np.testing.assert_allclose(np.asarray(dm_dual), np.asarray(dm_ref),
+                               rtol=1e-5)
+
+
+def test_train_step_pallas_dual_matches_jnp():
+    """One full train step with use_pallas_loss=True (which routes the
+    differentiated loss through the dual kernel) matches the jnp step's
+    loss and updated params."""
+    import dataclasses
+
+    from musicvae_tpu.config import C1_CONV_BAR
+    from musicvae_tpu.train import create_state, make_train_step
+
+    cfg = C1_CONV_BAR.replace(
+        model=dataclasses.replace(
+            C1_CONV_BAR.model, enc_channels=(4, 8, 8, 8, 8),
+            dec_channels=(8, 8, 8, 8, 8), z_dim=8, dtype="float32"),
+        train=dataclasses.replace(C1_CONV_BAR.train, batch_size=2))
+    model, state0 = create_state(cfg)
+    batch = {"x": jax.random.bernoulli(
+        jax.random.key(5), 0.1,
+        (2, 1, 96, 128)).astype(jnp.float32)}
+    s_jnp, m_jnp = make_train_step(cfg, model, use_pallas=False)(state0,
+                                                                 batch)
+    _, state0b = create_state(cfg)
+    s_pal, m_pal = make_train_step(cfg, model, use_pallas=True)(state0b,
+                                                                batch)
+    np.testing.assert_allclose(float(m_jnp["loss"]), float(m_pal["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_jnp.params),
+                    jax.tree.leaves(s_pal.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -58,7 +58,7 @@ def test_python_parser_never_crashes(seed):
 def test_native_parser_never_crashes(seed):
     for data in _mutations(seed):
         try:
-            notes, tpq, _ = native.parse_smf(data)
+            notes, tpq, _, _ = native.parse_smf(data)
             assert tpq > 0
             if len(notes):
                 assert (notes[:, 2] >= 0).all() and (notes[:, 2] < 128).all()
@@ -79,7 +79,7 @@ def test_parsers_agree_on_acceptance(seed):
         except smf.SMFError:
             py_ok = False
         try:
-            nat_notes, nat_tpq, _ = native.parse_smf(data)
+            nat_notes, nat_tpq, _, _ = native.parse_smf(data)
         except ValueError:
             nat_ok = False
         assert py_ok == nat_ok, f"acceptance disagreement on {data[:40]!r}"
@@ -127,7 +127,7 @@ def test_tick_overflow_rejected_by_both():
     ok = _smf(ev * 8 + b"\x00\xff\x2f\x00")
     assert smf.parse_smf(ok).notes
     if native.available():
-        notes, _, _ = native.parse_smf(ok)
+        notes, _, _, _ = native.parse_smf(ok)
         assert len(notes)
 
 

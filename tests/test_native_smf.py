@@ -34,7 +34,7 @@ def _random_notes(seed, n, tpq):
 def test_parse_parity_random(seed, tpq):
     data = smf.write_smf(_random_notes(seed, 150, tpq), tpq)
     py = smf.parse_smf(data)
-    nat_notes, nat_tpq, nat_tempo = native.parse_smf(data)
+    nat_notes, nat_tpq, nat_tempo, _ = native.parse_smf(data)
     assert nat_tpq == py.ticks_per_quarter
     assert nat_tempo == py.tempo_us_per_quarter
     py_arr = np.array([[n.start_tick, n.end_tick, n.pitch, n.velocity]
@@ -48,7 +48,7 @@ def test_parse_parity_edge_cases():
              smf.Note(72, 0, 50, 80)]
     data = smf.write_smf(notes, 480)
     py = smf.parse_smf(data)
-    nat_notes, _, _ = native.parse_smf(data)
+    nat_notes, _, _, _ = native.parse_smf(data)
     py_arr = np.array([[n.start_tick, n.end_tick, n.pitch, n.velocity]
                        for n in py.notes], dtype=np.int32)
     np.testing.assert_array_equal(nat_notes, py_arr)
@@ -66,7 +66,7 @@ def test_quantize_parity():
         data = smf.write_smf(_random_notes(7, 200, tpq), tpq)
         py_midi = smf.parse_smf(data)
         py_events, py_total = tensorize.notes_to_events(py_midi, SPEC, 256)
-        nat_notes, nat_tpq, _ = native.parse_smf(data)
+        nat_notes, nat_tpq, _, _ = native.parse_smf(data)
         nat_events, nat_total = native.quantize_events(
             nat_notes, nat_tpq, SPEC.steps_per_quarter, SPEC.steps_per_bar,
             256)
@@ -77,7 +77,7 @@ def test_quantize_parity():
 def test_native_roll_end_to_end():
     """native parse+quantize feeding the jit tensorizer == python path."""
     data = smf.write_smf(_random_notes(11, 100, 480), 480)
-    nat_notes, tpq, _ = native.parse_smf(data)
+    nat_notes, tpq, _, _ = native.parse_smf(data)
     events, total = native.quantize_events(
         nat_notes, tpq, SPEC.steps_per_quarter, SPEC.steps_per_bar, 128)
     roll_native = np.asarray(tensorize.events_to_roll(events, total))
