@@ -86,12 +86,16 @@ def main() -> int:
     b = cfg.train.batch_size
     n_bars_total = 4096
     n_windows = n_bars_total - cfg.model.num_bars + 1
-    data = jax.device_put({
+    data = {
         "bars": (jax.random.uniform(jax.random.key(0),
                                     (n_bars_total, 96, 128)) < 0.08
                  ).astype(jnp.uint8),
         "starts": jnp.arange(n_windows, dtype=jnp.int32),
-    }, replicated(mesh))
+    }
+    if cfg.model.kind == "cond":
+        data["chords"] = jnp.zeros((n_windows,), jnp.int32)
+        data["keys"] = jnp.zeros((n_windows,), jnp.int32)
+    data = jax.device_put(data, replicated(mesh))
     rng = np.random.default_rng(0)
     n_chunks = max(1, args.steps // K)
     idxs = rng.integers(0, n_windows,

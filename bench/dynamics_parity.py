@@ -113,7 +113,7 @@ def run(steps: int = 300, ckpt_every: int = 50, smooth: int = 10,
         x_np = ds.batch(idxs[i])["x"]
         beta = float(beta_schedule(jnp.asarray(i), t.beta_max,
                                    t.beta_warmup_steps, t.beta_hold_steps,
-                                   t.beta_cycle_steps))
+                                   t.beta_schedule, t.beta_cycle_steps))
         params, opt_state, loss = flax_step(
             params, opt_state, jnp.asarray(x_np), jnp.asarray(eps[i]), beta)
         flax_losses.append(float(loss))

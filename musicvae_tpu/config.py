@@ -153,10 +153,14 @@ class TrainSpec:
     # training to corpora up to D× one device's HBM.
     corpus_layout: str = "replicated"
     remat_encoder: bool = False          # jax.checkpoint on per-bar encoder
-    # Pallas loss kernel in the TRAIN step. Default off: the custom VJP is
-    # a fusion barrier and XLA's fused autodiff wins end-to-end (see
-    # ops/fused_elbo.py perf note); the kernel still serves grad-free paths.
-    use_pallas_loss: bool = False
+    # Pallas loss kernel in the TRAIN step — DEFAULT ON since round 4:
+    # the dual-output forward (ops/fused_elbo.py) emits the BCE gradient
+    # tile alongside the sum, so the VJP is one fused scale instead of a
+    # fusion-barriered second pass, measured +8–14% full-step steps/s on
+    # every bf16 config (docs/PALLAS_NOTES.md round-4 table; numerics
+    # ≤1e-5 rel fwd / ≤1e-6 grads). Ignored off-TPU (jnp fallback). Set
+    # False to force XLA autodiff end to end (the round-1–3 behavior).
+    use_pallas_loss: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -273,13 +277,16 @@ C2_MXU = Config(
                     enc_channels=(256, 256, 512),
                     dec_channels=(512, 256, 256),
                     bar_feat_dim=256, gru_hidden=512),
-    # free_bits on by default here: the wide patch decoder is strong
-    # enough to ignore z entirely (measured: KL collapsed to 0.3 nats and
-    # eval F1 halved in the round-4 parity soak without the floor —
-    # logs/r4/). The floor is the standard MusicVAE-lineage guard; the
-    # parity configs keep the reference's plain annealed ELBO.
+    # free_bits + transpose_aug on by default here — both measured
+    # necessary for this capacity (logs/r4/): without the floor the wide
+    # patch decoder ignores z entirely (KL collapsed to 0.3 nats, eval F1
+    # halved); without augmentation the 12M params overfit the corpus
+    # (eval recon 920→2853 over 8k steps). With both, c2_mxu BEATS
+    # c2_gru_4bar under identical knobs (eval F1 0.795 vs 0.789, eval
+    # loss 834 vs 878 at 8k steps — BASELINE.md round 4). The parity
+    # configs keep the reference's plain annealed ELBO.
     train=TrainSpec(batch_size=64, beta_warmup_steps=4000,
-                    free_bits=0.125),
+                    free_bits=0.125, transpose_aug=5),
 )
 
 _CONFIGS = {c.name: c for c in
