@@ -25,19 +25,31 @@ import jax.numpy as jnp
 
 
 def transpose_rolls(x: jax.Array, shifts: jax.Array) -> jax.Array:
-    """Pitch-shift each example's rolls: x [B, N, T, P] (any dtype),
-    shifts [B] int (semitones, + = up) → same shape/dtype; pitches
-    shifted past either edge drop out (zeros shift in — matching how a
-    transposed piece would tensorize after the pitch crop).
+    """Pitch-shift each example's rolls: x [B, N, T, P] binary (any
+    dtype), shifts [B] int (semitones, + = up) → same shape/dtype;
+    pitches shifted past either edge drop out (zeros shift in — matching
+    how a transposed piece would tensorize after the pitch crop).
 
     out[b, ..., p] = x[b, ..., p - shifts[b]] where in range, else 0.
+
+    TPU-first formulation: the pitch axis is the 128-lane dimension, and
+    a per-example DYNAMIC gather along lanes lowers to cross-lane
+    shuffles (measured ~460 µs/step on c2_mxu — 16% of the whole train
+    step). Instead the shift is applied as a batched matmul against a
+    per-example one-hot permutation matrix M[b, q, p] = [q == p − s_b]
+    — [B·N·T, 128]×[128, 128] rides the MXU (~1 GFLOP at C2-class
+    shapes, tens of µs) and the out-of-range drop is implicit (no q
+    matches ⇒ zero column). Exact for binary rolls: one-hot × {0,1} in
+    bf16 accumulates to exact 0/1 in f32 (asserted bit-equal vs the
+    gather semantics in tests/test_train_e2e.py).
     """
     p_dim = x.shape[-1]
-    idx = jnp.arange(p_dim)[None, :] - shifts[:, None]          # [B, P]
-    valid = (idx >= 0) & (idx < p_dim)
-    idxc = jnp.clip(idx, 0, p_dim - 1)
-    out = jnp.take_along_axis(x, idxc[:, None, None, :], axis=-1)
-    return out * valid[:, None, None, :].astype(x.dtype)
+    p = jnp.arange(p_dim)
+    m = (p[None, :, None] == p[None, None, :] - shifts[:, None, None])
+    m = m.astype(jnp.bfloat16)                          # [B, P, P]
+    xb = x.reshape(x.shape[0], -1, p_dim).astype(jnp.bfloat16)
+    out = jnp.matmul(xb, m, preferred_element_type=jnp.float32)
+    return out.reshape(x.shape).astype(x.dtype)
 
 
 def random_shifts(key: jax.Array, batch: int, max_shift: int) -> jax.Array:
