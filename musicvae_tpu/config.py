@@ -289,9 +289,23 @@ C2_MXU = Config(
                     free_bits=0.125, transpose_aug=5),
 )
 
+# The hierarchical sibling of c2_mxu: the same patch stem/head under the
+# C3 bar→phrase architecture (16-bar context, teacher-forced conductor).
+# Same rationale and defaults as c2_mxu; measured MFU/quality rows in
+# BASELINE.md round 4.
+C3_MXU = Config(
+    name="c3_mxu",
+    model=ModelSpec(kind="hier", num_bars=16, z_dim=64, z_phrase_dim=256,
+                    stem="patch", patch_size=(8, 16),
+                    enc_channels=(256, 256, 512),
+                    dec_channels=(512, 256, 256),
+                    bar_feat_dim=256, gru_hidden=512),
+    train=TrainSpec(batch_size=128, free_bits=0.125, transpose_aug=5),
+)
+
 _CONFIGS = {c.name: c for c in
             (C1_CONV_BAR, C2_GRU_4BAR, C3_HIER_16BAR, C4_COND, C5_GEN_SWEEP,
-             C2_CROPPED, C2_MXU)}
+             C2_CROPPED, C2_MXU, C3_MXU)}
 
 
 def get_config(name: str) -> Config:

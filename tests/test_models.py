@@ -152,3 +152,30 @@ def test_patch_stem_torch_convert_rejected():
         flax_params_to_torch_state_dict(params, cfg)
     with pytest.raises(ValueError, match="patch stem"):
         torch_state_dict_to_flax({}, cfg)
+
+
+def test_patch_stem_hier_forward_and_generate():
+    """c3_mxu (hier + patch stem): two latent levels through the patch
+    trunk/head, and the scanned conductor generation path."""
+    from musicvae_tpu.config import get_config
+
+    cfg = get_config("c3_mxu")
+    cfg = cpu_friendly(cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, enc_channels=(8, 8, 16), dec_channels=(16, 8, 8),
+            z_dim=8, z_phrase_dim=16, gru_hidden=16, bar_feat_dim=16,
+            num_bars=4)))
+    model, params = init_params(cfg, jax.random.key(0))
+    x, _ = _dummy_batch(cfg)
+    logits, latents = model.apply(
+        {"params": params}, x, rngs={"latent": jax.random.key(2)})
+    assert logits.shape == x.shape
+    assert len(latents) == 2                      # phrase + bar levels
+
+    z = jax.random.normal(jax.random.key(4), (2, 3, cfg.model.z_dim))
+    zp = jax.random.normal(jax.random.key(5), (2, cfg.model.z_phrase_dim))
+    reset = jnp.zeros((2, 3)).at[:, 0].set(1.0)
+    _, bars = model.apply({"params": params}, z, reset, z_phrase=zp,
+                          method=model.generate)
+    assert bars.shape == (2, 3, 96, 128)
+    assert bars.dtype == jnp.uint8
