@@ -85,6 +85,10 @@ def space_to_depth(x: jax.Array, pt: int, pp: int) -> jax.Array:
     the MXU's 128-wide tiles (docs/PALLAS_NOTES.md pinned this as the MFU
     ceiling); patchified, the first contraction is 3·3·pt·pp ≥ 1152."""
     b, t, p = x.shape
+    if t % pt or p % pp:
+        raise ValueError(f"patch {(pt, pp)} does not tile a [{t}, {p}] "
+                         f"bar (ModelSpec.patch_size must divide "
+                         f"steps_per_bar x num_pitches)")
     x = x.reshape(b, t // pt, pt, p // pp, pp)
     return x.transpose(0, 1, 3, 2, 4).reshape(b, t // pt, p // pp, pt * pp)
 

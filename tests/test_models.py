@@ -179,3 +179,30 @@ def test_patch_stem_hier_forward_and_generate():
                           method=model.generate)
     assert bars.shape == (2, 3, 96, 128)
     assert bars.dtype == jnp.uint8
+
+
+def test_patch_stem_cond_forward_and_generate():
+    """The patch stem composes with the conditional wrapper (kind='cond'
+    + stem='patch'): chord/key embeddings thread through the patch
+    trunk/head unchanged."""
+    from musicvae_tpu.config import get_config
+
+    cfg = get_config("c2_mxu")
+    cfg = cpu_friendly(cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, kind="cond", enc_channels=(8, 8, 16),
+            dec_channels=(16, 8, 8), z_dim=8, gru_hidden=16,
+            bar_feat_dim=16)))
+    model, params = init_params(cfg, jax.random.key(0))
+    x, kw = _dummy_batch(cfg)
+    logits, latents = model.apply(
+        {"params": params}, x, **kw, rngs={"latent": jax.random.key(2)})
+    assert logits.shape == x.shape and len(latents) == 1
+
+    z = jax.random.normal(jax.random.key(4), (2, 3, cfg.model.z_dim))
+    reset = jnp.zeros((2, 3)).at[:, 0].set(1.0)
+    _, bars = model.apply(
+        {"params": params}, z, reset,
+        chord=jnp.ones((2, 3), jnp.int32), key_sig=jnp.ones((2,), jnp.int32),
+        method=model.generate)
+    assert bars.shape == (2, 3, 96, 128) and bars.dtype == jnp.uint8
