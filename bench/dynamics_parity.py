@@ -45,7 +45,8 @@ def log(*a):
 
 
 def run(steps: int = 300, ckpt_every: int = 50, smooth: int = 10,
-        batch: int = 16, seed: int = 0, tiny: bool = False):
+        batch: int = 16, seed: int = 0, tiny: bool = False,
+        config: str = "c1_conv_bar"):
     import dataclasses
 
     import jax
@@ -56,7 +57,7 @@ def run(steps: int = 300, ckpt_every: int = 50, smooth: int = 10,
 
     from musicvae_tpu.checkpoints.torch_convert import (
         flax_params_to_torch_state_dict)
-    from musicvae_tpu.config import C1_CONV_BAR
+    from musicvae_tpu.config import get_config
     from musicvae_tpu.data import PianoRollDataset, synth_corpus
     from musicvae_tpu.midi.tensorize import pitch_mask
     from musicvae_tpu.models import init_params
@@ -64,7 +65,11 @@ def run(steps: int = 300, ckpt_every: int = 50, smooth: int = 10,
     from musicvae_tpu.train.trainer import elbo_from_outputs
     from oracle.oracle_model import OracleVAE, oracle_elbo
 
-    cfg = C1_CONV_BAR
+    cfg = get_config(config)
+    if cfg.model.dtype != "float32":
+        # both sides must run the same fp32 numerics for a dynamics claim
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    dtype="float32"))
     if tiny:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, enc_channels=(4, 8, 8, 8, 8),
@@ -153,9 +158,13 @@ def main() -> int:
     p.add_argument("--smooth", type=int, default=10)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--config", default="c1_conv_bar",
+                   help="any single-latent-level parity config "
+                        "(c1_conv_bar / c2_gru_4bar / c2_cropped)")
     args = p.parse_args()
     result = run(steps=args.steps, ckpt_every=args.ckpt_every,
-                 smooth=args.smooth, batch=args.batch, tiny=args.tiny)
+                 smooth=args.smooth, batch=args.batch, tiny=args.tiny,
+                 config=args.config)
     print(json.dumps(result))
     return 0
 
