@@ -59,6 +59,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "does not match the config's bar length anyway "
                         "(bar boundaries will follow the config, not the "
                         "file; default is a hard error)")
+    p.add_argument("--meter", default=None, metavar="N/D",
+                   help="train/ingest in this meter: the grid adapts "
+                        "(config.meter_grid) so bars stay the same "
+                        "tensor shape with EXACT bar boundaries — e.g. "
+                        "3/4 becomes three 32-step quarters per 96-step "
+                        "bar. Supported: any meter whose quarters/bar "
+                        "is a whole number dividing steps_per_bar (3/4, "
+                        "6/8, 2/4, 2/2, 12/8, ...). Exports declare it")
 
 
 def _apply_midi_overrides(cfg, args):
@@ -71,6 +79,16 @@ def _apply_midi_overrides(cfg, args):
         kw["max_events"] = args.max_events
     if getattr(args, "ignore_time_signature", False):
         kw["ignore_time_signature"] = True
+    if getattr(args, "meter", None):
+        from musicvae_tpu.config import meter_grid
+        try:
+            num, den = (int(v) for v in args.meter.split("/"))
+        except ValueError:
+            raise ValueError(f"--meter expects N/D (e.g. 3/4), "
+                             f"got {args.meter!r}") from None
+        spq, qpb = meter_grid(num, den, cfg.midi.steps_per_bar)
+        kw["steps_per_quarter"] = spq
+        kw["quarters_per_bar"] = qpb
     if kw:
         cfg = cfg.replace(midi=dataclasses.replace(cfg.midi, **kw))
     return cfg
@@ -2120,12 +2138,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    except Exception as e:
+    except ValueError as e:
+        # SMFError (malformed/unsupported MIDI data) and flag-validation
+        # errors (--meter 5/4, bad label ranges, ...) both surface as a
+        # clean one-liner; anything non-ValueError still tracebacks
         from musicvae_tpu.midi.smf import SMFError
-        if isinstance(e, SMFError):
-            print(f"error: malformed MIDI: {e}", file=sys.stderr)
-            return 2
-        raise
+        prefix = "malformed MIDI: " if isinstance(e, SMFError) else ""
+        print(f"error: {prefix}{e}", file=sys.stderr)
+        return 2
 
 
 def _enable_compile_cache() -> None:

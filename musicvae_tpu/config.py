@@ -308,6 +308,34 @@ _CONFIGS = {c.name: c for c in
              C2_CROPPED, C2_MXU, C3_MXU)}
 
 
+def meter_grid(numerator: int, denominator: int,
+               steps_per_bar: int = 96) -> Tuple[int, int]:
+    """(steps_per_quarter, quarters_per_bar) that realize the meter
+    ``numerator/denominator`` on a ``steps_per_bar``-step bar — the bar
+    TENSOR shape stays fixed (the models are compiled for it); the grid
+    resolution adapts instead. E.g. 3/4 → (32, 3): a 96-step bar of
+    three 32-step quarters, with exact bar boundaries for a waltz
+    corpus. Raises ValueError for meters that do not divide the bar
+    (e.g. 5/4, 7/8 on 96 steps — quarters_per_bar must be a positive
+    integer dividing steps_per_bar). SEMANTICS.md §1."""
+    if numerator <= 0 or denominator <= 0 or \
+            denominator & (denominator - 1):
+        raise ValueError(f"bad meter {numerator}/{denominator} "
+                         "(denominator must be a power of two)")
+    if (4 * numerator) % denominator:
+        raise ValueError(
+            f"meter {numerator}/{denominator} is {4 * numerator / denominator:g} "
+            f"quarters/bar — not a whole number of quarters; unsupported")
+    qpb = 4 * numerator // denominator
+    if steps_per_bar % qpb:
+        raise ValueError(
+            f"meter {numerator}/{denominator} ({qpb} quarters/bar) does "
+            f"not divide the {steps_per_bar}-step bar; supported meters "
+            f"keep steps_per_bar/quarters integral (3/4, 6/8, 2/4, 2/2, "
+            f"12/8, 4/4, ...)")
+    return steps_per_bar // qpb, qpb
+
+
 def get_config(name: str) -> Config:
     """Look up one of the five canonical configs by name."""
     try:

@@ -218,8 +218,12 @@ def write_smf(
     ticks_per_quarter: int = 480,
     tempo_us_per_quarter: int = 500_000,
     velocity: Optional[int] = None,
+    quarters_per_bar: int = 4,
 ) -> bytes:
-    """Serialize notes to SMF format 0 (SEMANTICS.md §7)."""
+    """Serialize notes to SMF format 0 (SEMANTICS.md §7).
+
+    ``quarters_per_bar`` sets the declared time signature meta as
+    quarters_per_bar/4 (a 3/4-configured model exports 3/4 files)."""
     events: List[Tuple[int, int, bytes]] = []  # (tick, order, payload)
     for n in notes:
         vel = velocity if velocity is not None else n.velocity
@@ -240,7 +244,8 @@ def write_smf(
     track = bytearray()
     track += _varlen(0) + bytes([0xFF, 0x51, 0x03])
     track += tempo_us_per_quarter.to_bytes(3, "big")
-    track += _varlen(0) + bytes([0xFF, 0x58, 0x04, 4, 2, 24, 8])  # 4/4
+    track += _varlen(0) + bytes([0xFF, 0x58, 0x04,
+                                 quarters_per_bar, 2, 24, 8])
     last_tick = 0
     for tick, _, payload in events:
         track += _varlen(tick - last_tick) + payload
@@ -258,6 +263,7 @@ def write_smf_arrays(
     ticks_per_quarter: int = 480,
     tempo_us_per_quarter: int = 500_000,
     velocity: int = 100,
+    quarters_per_bar: int = 4,
 ) -> bytes:
     """Vectorized ``write_smf`` for uniform-velocity note arrays.
 
@@ -323,7 +329,8 @@ def write_smf_arrays(
     track = bytearray()
     track += _varlen(0) + bytes([0xFF, 0x51, 0x03])
     track += tempo_us_per_quarter.to_bytes(3, "big")
-    track += _varlen(0) + bytes([0xFF, 0x58, 0x04, 4, 2, 24, 8])  # 4/4
+    track += _varlen(0) + bytes([0xFF, 0x58, 0x04,
+                                 quarters_per_bar, 2, 24, 8])
     track += buf.tobytes()
     track += _varlen(0) + bytes([0xFF, 0x2F, 0x00])  # end of track
 

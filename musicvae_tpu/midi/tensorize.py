@@ -308,5 +308,8 @@ def bars_to_midi_bytes(bars: np.ndarray, spec: MidiSpec,
     pitch, start, end = roll_to_note_arrays(np.asarray(bars), spec,
                                             ticks_per_quarter)
     tempo = int(round(60_000_000 / spec.tempo_bpm))
+    # exports declare the CONFIG's meter (quarters_per_bar/4): a 3/4
+    # model writes 3/4 files that round-trip the §1 meter check
     return smf.write_smf_arrays(pitch, start, end, ticks_per_quarter,
-                                tempo, velocity=spec.velocity)
+                                tempo, velocity=spec.velocity,
+                                quarters_per_bar=spec.quarters_per_bar)

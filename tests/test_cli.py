@@ -1433,3 +1433,37 @@ def test_cli_ignore_time_signature_flag(tmp_path, capsys):
                "--ignore-time-signature"])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_cli_meter_flag(tmp_path, capsys):
+    """`preprocess --meter 3/4` ingests a waltz corpus with exact 3/4
+    bar boundaries (the grid adapts, the 96-step bar shape doesn't);
+    unsupported meters fail with a clean error naming the constraint."""
+    from musicvae_tpu.midi import smf as smf_mod
+
+    notes = [smf_mod.Note(48 + (i % 24), i * 480, i * 480 + 240, 100)
+             for i in range(36)]                 # 12 bars of 3/4
+    path = tmp_path / "waltz34.mid"
+    path.write_bytes(smf_mod.write_smf(notes, 480, 500_000,
+                                       quarters_per_bar=3))
+    out = str(tmp_path / "cache_meter.npz")
+
+    # without --meter: hard time-signature error (not silent 4/4 bars)
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--midi-glob", str(path), "--out", out]) == 2
+    assert "time signature" in capsys.readouterr().err
+
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--midi-glob", str(path), "--out", out,
+                 "--meter", "3/4"]) == 0
+    import numpy as np
+    with np.load(out) as z:
+        assert z["bars"].shape == (12, 96, 128)  # 12 exact 3/4 bars
+
+    rc = main(["preprocess", "--config", "c1_conv_bar",
+               "--midi-glob", str(path), "--out", out, "--meter", "5/4"])
+    err = capsys.readouterr().err
+    assert rc == 2 and "5/4" in err
+    rc = main(["preprocess", "--config", "c1_conv_bar",
+               "--midi-glob", str(path), "--out", out, "--meter", "waltz"])
+    assert rc == 2 and "N/D" in capsys.readouterr().err

@@ -320,3 +320,53 @@ def test_max_events_spec_default_and_message():
     # raising the cap on the SAME spec accepts the file
     big = dataclasses.replace(SPEC, max_events=16)
     assert tensorize.corpus_to_bars([data], big)[0].shape[0] >= 1
+
+
+# --- meter support (config.meter_grid: the grid adapts, the bar doesn't) ----
+
+def test_meter_grid_mappings():
+    from musicvae_tpu.config import meter_grid
+
+    assert meter_grid(3, 4) == (32, 3)
+    assert meter_grid(6, 8) == (32, 3)
+    assert meter_grid(2, 4) == (48, 2)
+    assert meter_grid(2, 2) == (24, 4)
+    assert meter_grid(12, 8) == (16, 6)
+    assert meter_grid(4, 4) == (24, 4)
+    for num, den in [(5, 4), (7, 8), (9, 8), (3, 8), (0, 4), (4, 3)]:
+        with pytest.raises(ValueError):
+            meter_grid(num, den)
+
+
+def test_meter_34_exact_bar_boundaries_and_roundtrip():
+    """A 3/4 corpus under the 3/4 grid (spq=32, qpb=3): bar boundaries
+    land exactly every three quarters, the file's declared 3/4 passes
+    the §1 check, and exports declare 3/4 back."""
+    import dataclasses
+
+    spec34 = dataclasses.replace(SPEC, steps_per_quarter=32,
+                                 quarters_per_bar=3)
+    assert spec34.steps_per_bar == 96
+    # notes at quarters 0..5 (tpq=480): two 3/4 bars
+    data = _smf_with_timesig(3, 2, tpq=480)  # has one note at quarter 0
+    # build a longer 3/4 piece: six quarter notes
+    notes = [smf.Note(60 + i, i * 480, i * 480 + 240, 100)
+             for i in range(6)]
+    data = smf.write_smf(notes, 480, 500_000, quarters_per_bar=3)
+    assert smf.parse_smf(data).time_signatures == ((3, 4),)
+    bars = np.asarray(tensorize.midi_bytes_to_bars(data, spec34))
+    assert bars.shape == (2, 96, 128)          # exactly two 3/4 bars
+    # quarter 3 (the 4th note) is bar 2 step 0 under 3/4 — it would sit
+    # INSIDE bar 1 under the 4/4 grid (the silent mis-chunking bug class)
+    assert bars[1, 0, 63] == 1.0
+    # the corpus path agrees
+    cb = tensorize.corpus_to_bars([data], spec34)[0]
+    np.testing.assert_array_equal(np.asarray(cb), bars)
+    # 4/4-configured ingestion REJECTS the same file
+    with pytest.raises(smf.SMFError, match="time signature"):
+        tensorize.corpus_to_bars([data], SPEC)
+    # export declares the spec's meter and round-trips the §1 check
+    out = tensorize.bars_to_midi_bytes(bars, spec34)
+    assert smf.parse_smf(out).time_signatures == ((3, 4),)
+    back = np.asarray(tensorize.midi_bytes_to_bars(out, spec34))
+    np.testing.assert_array_equal(back, bars)
