@@ -771,6 +771,10 @@ def cmd_describe(args) -> int:
         "latest_step": steps[-1],
         "quarantined": quarantined,
         "roll": f"{cfg.midi.steps_per_bar}x{cfg.midi.num_pitches}",
+        # the tensorization meter (a --meter 3/4 run reports 3/4) and
+        # the conv-stem family (parity "conv" vs the MXU "patch" layout)
+        "meter": f"{cfg.midi.quarters_per_bar}/4",
+        "stem": cfg.model.stem,
         "window_bars": cfg.model.num_bars,
         "dtype": cfg.model.dtype,
         # from the embedded config, not the weights: shape-only inspect
