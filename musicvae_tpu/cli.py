@@ -36,6 +36,13 @@ def _use_ema_weights(state):
     return state.replace(params=state.ema_params)
 
 
+class _UsageError(ValueError):
+    """A flag/usage error raised past argparse (e.g. --meter values that
+    need config context to validate). main() prints it as a clean
+    one-liner; every OTHER ValueError still tracebacks, so internal bugs
+    stay distinguishable from bad user input."""
+
+
 def _positive_int(s: str) -> int:
     v = int(s)
     if v < 1:
@@ -84,9 +91,12 @@ def _apply_midi_overrides(cfg, args):
         try:
             num, den = (int(v) for v in args.meter.split("/"))
         except ValueError:
-            raise ValueError(f"--meter expects N/D (e.g. 3/4), "
-                             f"got {args.meter!r}") from None
-        spq, qpb = meter_grid(num, den, cfg.midi.steps_per_bar)
+            raise _UsageError(f"--meter expects N/D (e.g. 3/4), "
+                              f"got {args.meter!r}") from None
+        try:
+            spq, qpb = meter_grid(num, den, cfg.midi.steps_per_bar)
+        except ValueError as e:
+            raise _UsageError(str(e)) from None
         kw["steps_per_quarter"] = spq
         kw["quarters_per_bar"] = qpb
     if kw:
@@ -177,36 +187,11 @@ def cmd_train(args) -> int:
     ) if v is not None}
     if overrides:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
-    if args.data:
-        if not os.path.exists(args.data):
-            # a typo'd path must not silently train on synthetic data
-            print(f"error: --data {args.data} does not exist",
-                  file=sys.stderr)
-            return 2
-        ds = PianoRollDataset.load_npy(args.data)
-        if ds.num_bars != cfg.model.num_bars:
-            print(f"error: {args.data} has {ds.num_bars}-bar windows "
-                  f"but config {cfg.name!r} trains on "
-                  f"{cfg.model.num_bars}-bar windows; re-run preprocess "
-                  f"with --config {cfg.name}", file=sys.stderr)
-            return 2
-    elif args.midi_glob:
-        # one-shot workflow: tensorize the MIDI corpus in-process (the
-        # same reading/validation path as preprocess, incl. the --labels
-        # sidecar; unlabeled pieces get inferred labels for cond models)
-        pieces, rc = _read_midi_corpus(args.midi_glob, args.labels)
-        if rc:
-            return 2
-        ds = PianoRollDataset.from_corpus(pieces, cfg.midi,
-                                          cfg.model.num_bars,
-                                          infer_labels=True)
-        print(f"tensorized {len(pieces)} MIDI files from "
-              f"{args.midi_glob}", file=sys.stderr)
-    else:
-        ds = PianoRollDataset.from_corpus(
-            synth_corpus(64, n_bars=32, seed=cfg.train.seed),
-            cfg.midi, cfg.model.num_bars)
-    mesh = make_mesh(cfg.mesh)
+    # NOTE: data ingestion happens BELOW, after the resume block — on
+    # --resume the checkpoint's config wins (including its MidiSpec: a
+    # run trained with --meter 3/4 must re-tensorize its corpus on the
+    # 3/4 grid even when the flag is not re-passed), so the corpus can
+    # only be read once cfg is final.
     manager = checkpoints.make_manager(args.ckpt_dir, cfg.train.ckpt_keep)
     logger = MetricsLogger(args.log_dir)
     state = None
@@ -226,6 +211,10 @@ def cmd_train(args) -> int:
             return 2
         _, template = create_state(ckpt_cfg)
         state, cfg = checkpoints.restore(manager, template)
+        # explicit MIDI-ingestion flags (--meter/--max-events/...) apply
+        # over the restored config too — same checkpoint-wins-with-CLI-
+        # override semantics as the train overrides below
+        cfg = _apply_midi_overrides(cfg, args)
         # the checkpoint's config wins by default, but explicit CLI flags
         # must still apply (e.g. --resume --steps 500 extends the run)
         if overrides:
@@ -258,6 +247,52 @@ def cmd_train(args) -> int:
               f"step {manager.latest_step()}; pass --resume to continue "
               f"it or use a fresh --ckpt-dir", file=sys.stderr)
         return 2
+    # data ingestion under the FINAL cfg (checkpoint-restored on resume)
+    if args.data:
+        if not os.path.exists(args.data):
+            # a typo'd path must not silently train on synthetic data
+            print(f"error: --data {args.data} does not exist",
+                  file=sys.stderr)
+            return 2
+        ds = PianoRollDataset.load_npy(args.data)
+        if ds.num_bars != cfg.model.num_bars:
+            print(f"error: {args.data} has {ds.num_bars}-bar windows "
+                  f"but config {cfg.name!r} trains on "
+                  f"{cfg.model.num_bars}-bar windows; re-run preprocess "
+                  f"with --config {cfg.name}", file=sys.stderr)
+            return 2
+        # grid check: a cache quantized under another meter/resolution
+        # (preprocess --meter) must not silently train a config whose
+        # MidiSpec claims a different grid — generation/serving would
+        # export and re-quantize on the wrong meter forever after.
+        # Legacy caches carry no grid metadata and were all built on the
+        # 24/4 default.
+        cache_grid = ds.grid or (24, 4)
+        cfg_grid = (cfg.midi.steps_per_quarter, cfg.midi.quarters_per_bar)
+        if cache_grid != cfg_grid:
+            print(f"error: {args.data} was quantized on grid "
+                  f"{cache_grid[0]} steps/quarter x {cache_grid[1]} "
+                  f"quarters/bar but the config expects "
+                  f"{cfg_grid[0]}x{cfg_grid[1]}; pass the matching "
+                  f"--meter (or re-run preprocess)", file=sys.stderr)
+            return 2
+    elif args.midi_glob:
+        # one-shot workflow: tensorize the MIDI corpus in-process (the
+        # same reading/validation path as preprocess, incl. the --labels
+        # sidecar; unlabeled pieces get inferred labels for cond models)
+        pieces, rc = _read_midi_corpus(args.midi_glob, args.labels)
+        if rc:
+            return 2
+        ds = PianoRollDataset.from_corpus(pieces, cfg.midi,
+                                          cfg.model.num_bars,
+                                          infer_labels=True)
+        print(f"tensorized {len(pieces)} MIDI files from "
+              f"{args.midi_glob}", file=sys.stderr)
+    else:
+        ds = PianoRollDataset.from_corpus(
+            synth_corpus(64, n_bars=32, seed=cfg.train.seed),
+            cfg.midi, cfg.model.num_bars)
+    mesh = make_mesh(cfg.mesh)
     # holdout split AFTER restore so a resumed run honors the checkpoint's
     # eval settings: the split is deterministic in (corpus, seed), so the
     # resumed run reproduces the original train/eval partition rather than
@@ -2143,13 +2178,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     except ValueError as e:
-        # SMFError (malformed/unsupported MIDI data) and flag-validation
-        # errors (--meter 5/4, bad label ranges, ...) both surface as a
-        # clean one-liner; anything non-ValueError still tracebacks
+        # ONLY the two user-input error classes get the clean one-liner:
+        # SMFError (malformed/unsupported MIDI data) and _UsageError
+        # (flag validation past argparse, e.g. --meter 5/4). Any other
+        # ValueError is an internal bug and must keep its traceback.
         from musicvae_tpu.midi.smf import SMFError
-        prefix = "malformed MIDI: " if isinstance(e, SMFError) else ""
-        print(f"error: {prefix}{e}", file=sys.stderr)
-        return 2
+        if isinstance(e, SMFError):
+            print(f"error: malformed MIDI: {e}", file=sys.stderr)
+            return 2
+        if isinstance(e, _UsageError):
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        raise
 
 
 def _enable_compile_cache() -> None:

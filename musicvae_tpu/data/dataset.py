@@ -54,11 +54,15 @@ class HostLocalBatches:
 class PianoRollDataset:
     def __init__(self, bars: np.ndarray, starts: np.ndarray, num_bars: int,
                  chords: np.ndarray, keys: np.ndarray,
-                 piece_ids: np.ndarray = None):
+                 piece_ids: np.ndarray = None, grid=None):
         """bars: [T,96,128] uint8 (all pieces concatenated); starts: [N]
         int32 window starts into ``bars``; chords/keys: [N] int32 labels;
         piece_ids: [N] int32 source-piece index per window (enables
-        leakage-free train/eval splits; zeros for legacy caches)."""
+        leakage-free train/eval splits; zeros for legacy caches);
+        grid: (steps_per_quarter, quarters_per_bar) the corpus was
+        QUANTIZED under (None for legacy caches = the 24/4 default) —
+        training validates it against the config so a --meter 3/4 cache
+        can never silently train under a 4/4-configured model."""
         assert bars.ndim == 3 and bars.dtype == np.uint8
         self.bars = bars
         self.starts = np.asarray(starts, np.int32)
@@ -68,6 +72,7 @@ class PianoRollDataset:
         self.piece_ids = (np.zeros(self.starts.shape[0], np.int32)
                           if piece_ids is None
                           else np.asarray(piece_ids, np.int32))
+        self.grid = None if grid is None else (int(grid[0]), int(grid[1]))
 
     # -- construction --------------------------------------------------------
 
@@ -117,7 +122,8 @@ class PianoRollDataset:
                              f"(need pieces with >= {num_bars} bars)")
         return cls(np.concatenate(all_bars, axis=0), np.asarray(starts),
                    num_bars, np.asarray(chords), np.asarray(keys),
-                   np.asarray(piece_ids))
+                   np.asarray(piece_ids),
+                   grid=(spec.steps_per_quarter, spec.quarters_per_bar))
 
     @classmethod
     def load_npy(cls, path: str) -> "PianoRollDataset":
@@ -128,13 +134,18 @@ class PianoRollDataset:
                     f"(found {z.files}); re-run `preprocess` to regenerate")
             return cls(z["bars"], z["starts"], int(z["num_bars"]),
                        z["chords"], z["keys"],
-                       z["piece_ids"] if "piece_ids" in z.files else None)
+                       z["piece_ids"] if "piece_ids" in z.files else None,
+                       grid=z["grid"] if "grid" in z.files else None)
 
     def save_npy(self, path: str) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        extra = {}
+        if self.grid is not None:
+            extra["grid"] = np.asarray(self.grid, np.int32)
         np.savez_compressed(path, bars=self.bars, starts=self.starts,
                             num_bars=self.num_bars, chords=self.chords,
-                            keys=self.keys, piece_ids=self.piece_ids)
+                            keys=self.keys, piece_ids=self.piece_ids,
+                            **extra)
 
     # -- splitting -----------------------------------------------------------
 
@@ -167,7 +178,8 @@ class PianoRollDataset:
         def _sub(mask: np.ndarray) -> "PianoRollDataset":
             return PianoRollDataset(self.bars, self.starts[mask],
                                     self.num_bars, self.chords[mask],
-                                    self.keys[mask], self.piece_ids[mask])
+                                    self.keys[mask], self.piece_ids[mask],
+                                    grid=self.grid)
 
         return _sub(~eval_mask), _sub(eval_mask)
 
@@ -225,7 +237,7 @@ class PianoRollDataset:
             np.ascontiguousarray(self.bars[keep_bars]),
             new_index[self.starts[win_mask]].astype(np.int32),
             self.num_bars, self.chords[win_mask], self.keys[win_mask],
-            self.piece_ids[win_mask])
+            self.piece_ids[win_mask], grid=self.grid)
 
     # -- serving -------------------------------------------------------------
 

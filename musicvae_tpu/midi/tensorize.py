@@ -48,8 +48,17 @@ def check_time_signatures(timesigs, spec: MidiSpec) -> None:
     4/4, always accepted)."""
     if spec.ignore_time_signature:
         return
+    timesigs = tuple(timesigs or ())
+    if len(timesigs) > 4:
+        # acceptance parity with the native parser, which records at most
+        # 4 distinct signatures and fails closed beyond that (a real
+        # piece declaring 5+ DISTINCT meters is pathological; the two
+        # pipelines must agree on it either way) — SEMANTICS.md §1
+        raise smf.SMFError(
+            f"file declares {len(timesigs)} distinct time signatures; "
+            f"pass --ignore-time-signature to force config-meter chunking")
     spq, spb = spec.steps_per_quarter, spec.steps_per_bar
-    for num, den in timesigs or ():
+    for num, den in timesigs:
         if num <= 0 or den <= 0 or spq * 4 * num != spb * den:
             implied = spq * 4 * num / den if den else float("nan")
             raise smf.SMFError(

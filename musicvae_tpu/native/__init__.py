@@ -80,18 +80,39 @@ def build(force: bool = False) -> str:
     return lib
 
 
+# bumped in lockstep with smf_parser.cpp's mvae_abi_version(): signature
+# changes (round 4 added out_timesig / strict_timesig params) make an
+# old .so memory-unsafe to call through the new bindings
+_ABI_VERSION = 2
+
+
 def load() -> Optional[ctypes.CDLL]:
     """Load (building if needed); None if the toolchain is unavailable OR
     the library on disk is stale/incompatible (symbol binding below is
     inside the try: a prebuilt .so missing a newer entry point must fall
-    back to the pure-Python codec, not raise AttributeError forever)."""
+    back to the pure-Python codec, not raise AttributeError forever).
+    A version-mismatched .so (possible when a cached build outdates the
+    source yet carries a NEWER mtime — wheel installs preserve archive
+    mtimes) triggers ONE forced rebuild before giving up: calling the
+    new argtypes into old code would corrupt memory, not just error."""
     global _lib, _build_failed
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
         try:
-            path = build()
-            lib = ctypes.CDLL(path)
+            lib = None
+            for force in (False, True):
+                path = build(force=force)
+                cand = ctypes.CDLL(path)
+                try:
+                    cand.mvae_abi_version.restype = ctypes.c_int32
+                    if cand.mvae_abi_version() == _ABI_VERSION:
+                        lib = cand
+                        break
+                except AttributeError:
+                    pass    # pre-versioning .so → rebuild
+            if lib is None:
+                raise RuntimeError("native ABI mismatch after rebuild")
             _bind(lib)
         except Exception:
             _build_failed = True

@@ -56,6 +56,13 @@ struct Reader {
 
 extern "C" {
 
+// ABI version stamp: bumped whenever any exported signature changes.
+// The ctypes loader refuses (and rebuilds) a .so whose version differs —
+// mtime comparison alone cannot catch a stale cached library whose
+// source file carries an older archive mtime (wheel installs preserve
+// them), and calling a new signature into old code corrupts memory.
+int32_t mvae_abi_version() { return 2; }
+
 // Error codes (negative) or number of notes written (>= 0).
 //  -1 bad header / not SMF        -4 unknown status byte
 //  -2 SMPTE division unsupported  -5 note overflow (> max_notes)

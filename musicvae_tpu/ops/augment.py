@@ -25,8 +25,8 @@ import jax.numpy as jnp
 
 
 def transpose_rolls(x: jax.Array, shifts: jax.Array) -> jax.Array:
-    """Pitch-shift each example's rolls: x [B, N, T, P] binary (any
-    dtype), shifts [B] int (semitones, + = up) → same shape/dtype;
+    """Pitch-shift each example's rolls: x [B, N, T, P] (uint8 binary or
+    any float), shifts [B] int (semitones, + = up) → same shape/dtype;
     pitches shifted past either edge drop out (zeros shift in — matching
     how a transposed piece would tensorize after the pitch crop).
 
@@ -39,16 +39,24 @@ def transpose_rolls(x: jax.Array, shifts: jax.Array) -> jax.Array:
     per-example one-hot permutation matrix M[b, q, p] = [q == p − s_b]
     — [B·N·T, 128]×[128, 128] rides the MXU (~1 GFLOP at C2-class
     shapes, tens of µs) and the out-of-range drop is implicit (no q
-    matches ⇒ zero column). Exact for binary rolls: one-hot × {0,1} in
-    bf16 accumulates to exact 0/1 in f32 (asserted bit-equal vs the
-    gather semantics in tests/test_train_e2e.py).
+    matches ⇒ zero column). Exact in ALL cases (asserted bit-equal vs
+    the gather semantics in tests/test_train_e2e.py): each output is a
+    pure one-hot selection — bf16 operands for uint8 rolls (the
+    production path; {0,1} accumulate exactly), f32 operands for float
+    inputs so arbitrary values survive bit-exactly.
     """
     p_dim = x.shape[-1]
     p = jnp.arange(p_dim)
     m = (p[None, :, None] == p[None, None, :] - shifts[:, None, None])
-    m = m.astype(jnp.bfloat16)                          # [B, P, P]
-    xb = x.reshape(x.shape[0], -1, p_dim).astype(jnp.bfloat16)
-    out = jnp.matmul(xb, m, preferred_element_type=jnp.float32)
+    # dtype choice for exactness: uint8/binary rolls (the production
+    # train path) ride the fast bf16 MXU path — one-hot × {0,1}
+    # accumulates exactly; float inputs keep f32 operands so ARBITRARY
+    # values survive bit-exactly (each output is a pure selection — one
+    # nonzero product — but bf16 INPUT casting would round the values)
+    mm = jnp.bfloat16 if x.dtype == jnp.uint8 else jnp.float32
+    xb = x.reshape(x.shape[0], -1, p_dim).astype(mm)
+    out = jnp.matmul(xb, m.astype(mm),
+                     preferred_element_type=jnp.float32)
     return out.reshape(x.shape).astype(x.dtype)
 
 

@@ -127,6 +127,23 @@ def _bce_fwd(logits, x, mask):
     return out[0, 0], (logits, x, mask)
 
 
+def _bce_xmask_cotangents(logits, x, mask, g):
+    """Cotangents for the targets and the mask — the cold path shared by
+    both VJPs (jnp; dead code under the train step, where x is data and
+    mask a constant — XLA DCEs it). The per-cell term is
+    (max(l,0) − l·x + log1p(e^−|l|))·mask, so d/dx = −l·mask and
+    d/dmask = bce(l,x), reduced over the mask's broadcast axes."""
+    mask_b = jnp.broadcast_to(mask.astype(jnp.float32), logits.shape)
+    dx = (-logits * mask_b * g).astype(x.dtype)
+    from musicvae_tpu.ops.losses import bce_with_logits
+    bce_g = bce_with_logits(logits, x) * g
+    dmask = jnp.sum(bce_g, axis=tuple(range(bce_g.ndim - mask.ndim)))
+    for axis, mdim in enumerate(mask.shape):
+        if mdim == 1:
+            dmask = jnp.sum(dmask, axis=axis, keepdims=True)
+    return dx, dmask.astype(mask.dtype)
+
+
 def _bce_bwd(res, g):
     logits, x, mask = res
     l2, x2, m2 = _flatten_rows(logits, x, mask)
@@ -158,19 +175,8 @@ def _bce_bwd(res, g):
     )(n_rows, g_arr, l2, x2, m2)
     if pad:
         dl = dl[:m]
-    # cotangents for targets and mask (cold path — jnp is fine): the
-    # per-cell term is (max(l,0) - l·x + log1p(e^-|l|))·mask, so
-    # d/dx = -l·mask and d/dmask = bce(l,x), reduced over broadcast axes.
-    mask_b = jnp.broadcast_to(mask.astype(jnp.float32), logits.shape)
-    dx = (-logits * mask_b * g).astype(x.dtype)
-    from musicvae_tpu.ops.losses import bce_with_logits
-    bce_g = bce_with_logits(logits, x) * g
-    dmask = jnp.sum(bce_g, axis=tuple(range(bce_g.ndim - mask.ndim)))
-    for axis, mdim in enumerate(mask.shape):
-        if mdim == 1:
-            dmask = jnp.sum(dmask, axis=axis, keepdims=True)
-    return dl.reshape(logits.shape).astype(logits.dtype), dx, \
-        dmask.astype(jnp.float32)
+    dx, dmask = _bce_xmask_cotangents(logits, x, mask, g)
+    return dl.reshape(logits.shape).astype(logits.dtype), dx, dmask
 
 
 masked_bce_sum_pallas.defvjp(lambda l, x, m: _bce_fwd(l, x, m),
@@ -259,17 +265,8 @@ def _bce_dual_bwd(res, g):
     # multiply XLA fuses into whatever consumes dlogits (the decoder
     # head's backward). No pallas_call, no fusion barrier on this edge.
     dlogits = (dl * g).astype(logits.dtype)
-    # cotangents for x / mask: dead code in the train step (data and a
-    # constant) — XLA DCEs them; kept for custom_vjp completeness
-    mask_b = jnp.broadcast_to(mask.astype(jnp.float32), logits.shape)
-    dx = (-logits * mask_b * g).astype(jnp.float32)
-    from musicvae_tpu.ops.losses import bce_with_logits
-    bce_g = bce_with_logits(logits, x) * g
-    dmask = jnp.sum(bce_g, axis=tuple(range(bce_g.ndim - mask.ndim)))
-    for axis, mdim in enumerate(mask.shape):
-        if mdim == 1:
-            dmask = jnp.sum(dmask, axis=axis, keepdims=True)
-    return dlogits, dx, dmask.astype(jnp.float32)
+    dx, dmask = _bce_xmask_cotangents(logits, x, mask, g)
+    return dlogits, dx, dmask
 
 
 masked_bce_sum_pallas_dual.defvjp(lambda l, x, m: _bce_dual_fwd(l, x, m),

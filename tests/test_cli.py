@@ -1467,3 +1467,55 @@ def test_cli_meter_flag(tmp_path, capsys):
     rc = main(["preprocess", "--config", "c1_conv_bar",
                "--midi-glob", str(path), "--out", out, "--meter", "waltz"])
     assert rc == 2 and "N/D" in capsys.readouterr().err
+
+
+def test_meter_survives_cache_and_resume(tmp_path, capsys):
+    """The meter grid is persisted (cache metadata + checkpoint config)
+    and validated, closing the round-4 review findings: a 3/4 cache
+    refuses to train a 4/4-configured model, and `train --resume`
+    re-tensorizes under the CHECKPOINT's meter without re-passing the
+    flag."""
+    from musicvae_tpu.midi import smf as smf_mod
+
+    notes = [smf_mod.Note(48 + (i % 24), i * 480, i * 480 + 240, 100)
+             for i in range(24)]                 # 8 bars of 3/4
+    path = tmp_path / "w34.mid"
+    path.write_bytes(smf_mod.write_smf(notes, 480, 500_000,
+                                       quarters_per_bar=3))
+    cache = str(tmp_path / "w34.npz")
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--midi-glob", str(path), "--out", cache,
+                 "--meter", "3/4"]) == 0
+
+    # the cache refuses a 4/4-configured train run, naming the remedy
+    ck = str(tmp_path / "wck")
+    rc = main(["train", "--config", "c1_conv_bar", "--data", cache,
+               "--steps", "2", "--ckpt-dir", ck,
+               "--log-dir", str(tmp_path / "l1")])
+    err = capsys.readouterr().err
+    assert rc == 2 and "grid" in err and "--meter" in err
+
+    # with the flag: trains; the checkpoint embeds the 3/4 MidiSpec
+    assert main(["train", "--config", "c1_conv_bar", "--data", cache,
+                 "--steps", "2", "--ckpt-dir", ck, "--meter", "3/4",
+                 "--log-dir", str(tmp_path / "l2")]) == 0
+    from musicvae_tpu import checkpoints
+    cfg = checkpoints.restore_config(checkpoints.make_manager(ck))
+    assert (cfg.midi.steps_per_quarter, cfg.midi.quarters_per_bar) \
+        == (32, 3)
+
+    # resume WITHOUT --meter: the checkpoint's grid drives ingestion —
+    # both the cache path (validated OK) and the --midi-glob path
+    # (re-tensorized on the 3/4 grid rather than erroring/mis-chunking)
+    capsys.readouterr()
+    assert main(["train", "--config", "c1_conv_bar", "--data", cache,
+                 "--steps", "4", "--ckpt-dir", ck, "--resume",
+                 "--log-dir", str(tmp_path / "l3")]) == 0
+    assert "resumed from step" in capsys.readouterr().err
+    capsys.readouterr()
+    assert main(["train", "--config", "c1_conv_bar",
+                 "--midi-glob", str(path),
+                 "--steps", "6", "--ckpt-dir", ck, "--resume",
+                 "--log-dir", str(tmp_path / "l4")]) == 0
+    err = capsys.readouterr().err
+    assert "resumed from step" in err and "tensorized 1 MIDI" in err

@@ -252,3 +252,22 @@ def test_train_step_pallas_dual_matches_jnp():
     for a, b in zip(jax.tree.leaves(s_jnp.params),
                     jax.tree.leaves(s_pal.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_bce_dual_bf16_target_cotangent_dtype():
+    """custom_vjp requires cotangent dtypes to match the primals: the
+    dual kernel must return a bf16 dx for a bf16 x (code-review r4 —
+    the first cut hardcoded float32 and only worked because the trainer
+    pre-casts)."""
+    from musicvae_tpu.ops.fused_elbo import masked_bce_sum_pallas_dual
+
+    logits, x, mask, *_ = _data(b=2, n=1)
+    xb = x.astype(jnp.bfloat16)
+    dx = jax.grad(
+        lambda xx: masked_bce_sum_pallas_dual(logits, xx, mask))(xb)
+    assert dx.dtype == jnp.bfloat16
+    dx_ref = jax.grad(
+        lambda xx: losses.masked_bce_sum(logits, xx, mask))(xb)
+    np.testing.assert_allclose(np.asarray(dx, np.float32),
+                               np.asarray(dx_ref, np.float32),
+                               rtol=2e-2, atol=1e-2)

@@ -634,3 +634,20 @@ def test_free_bits_train_reports_true_kl(corpus):
     assert float(m_fb["loss"]) > float(m_0["loss"])
     assert float(m_fb["loss"]) - float(m_fb["recon"]) <= \
         cfg.model.z_dim * 2.0 + 1e-3
+
+
+def test_transpose_rolls_exact_for_nonbinary_floats():
+    """The one-hot matmul formulation must remain a BIT-EXACT selection
+    for arbitrary float values (code-review r4: bf16 input casting would
+    round them), not just for binary rolls."""
+    from musicvae_tpu.ops.augment import transpose_rolls
+
+    rng = np.random.default_rng(3)
+    x = rng.random((4, 1, 6, 128)).astype(np.float32)   # arbitrary values
+    shifts = np.array([-5, 0, 1, 12], np.int32)
+    got = np.asarray(jax.jit(transpose_rolls)(x, shifts))
+    want = np.zeros_like(x)
+    for b, s in enumerate(shifts):
+        lo, hi = max(0, s), min(128, 128 + s)
+        want[b, ..., lo:hi] = x[b, ..., lo - s:hi - s]
+    np.testing.assert_array_equal(got, want)   # bit-exact, not allclose
