@@ -159,8 +159,11 @@ def main() -> int:
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--config", default="c1_conv_bar",
-                   help="any single-latent-level parity config "
-                        "(c1_conv_bar / c2_gru_4bar / c2_cropped)")
+                   choices=["c1_conv_bar", "c2_gru_4bar", "c2_cropped"],
+                   help="a single-latent-level PARITY config — the "
+                        "oracle/converter only model that family (hier "
+                        "has two latent levels; the MXU patch stem has "
+                        "no torch twin)")
     args = p.parse_args()
     result = run(steps=args.steps, ckpt_every=args.ckpt_every,
                  smooth=args.smooth, batch=args.batch, tiny=args.tiny,

@@ -36,6 +36,22 @@ def _use_ema_weights(state):
     return state.replace(params=state.ema_params)
 
 
+def _check_cache_grid(ds, cfg, path: str):
+    """None if the cache's quantization grid matches cfg.midi, else the
+    error string. Shared by train/eval/eval-gen --data: a cache built
+    under another meter (preprocess --meter) must never silently feed a
+    model whose MidiSpec claims a different grid. Legacy caches carry no
+    grid metadata; they were all built on the 24/4 default."""
+    cache_grid = ds.grid or (24, 4)
+    cfg_grid = (cfg.midi.steps_per_quarter, cfg.midi.quarters_per_bar)
+    if cache_grid != cfg_grid:
+        return (f"{path} was quantized on grid {cache_grid[0]} "
+                f"steps/quarter x {cache_grid[1]} quarters/bar but the "
+                f"config expects {cfg_grid[0]}x{cfg_grid[1]}; pass the "
+                f"matching --meter (or re-run preprocess)")
+    return None
+
+
 class _UsageError(ValueError):
     """A flag/usage error raised past argparse (e.g. --meter values that
     need config context to validate). main() prints it as a clean
@@ -146,7 +162,8 @@ def cmd_preprocess(args) -> int:
         infer = not args.no_infer_labels
     else:
         pieces = synth_corpus(args.synthetic_pieces, n_bars=32,
-                              seed=cfg.train.seed)
+                              seed=cfg.train.seed,
+                              quarters_per_bar=cfg.midi.quarters_per_bar)
         infer = False  # synthetic pieces carry ground-truth labels
     ds = PianoRollDataset.from_corpus(pieces, cfg.midi, cfg.model.num_bars,
                                       infer_labels=infer)
@@ -191,7 +208,12 @@ def cmd_train(args) -> int:
     # --resume the checkpoint's config wins (including its MidiSpec: a
     # run trained with --meter 3/4 must re-tensorize its corpus on the
     # 3/4 grid even when the flag is not re-passed), so the corpus can
-    # only be read once cfg is final.
+    # only be read once cfg is final. The cfg-INDEPENDENT existence
+    # check stays up front: a typo'd path must error before make_manager
+    # / MetricsLogger construct checkpoint and log directories.
+    if args.data and not os.path.exists(args.data):
+        print(f"error: --data {args.data} does not exist", file=sys.stderr)
+        return 2
     manager = checkpoints.make_manager(args.ckpt_dir, cfg.train.ckpt_keep)
     logger = MetricsLogger(args.log_dir)
     state = None
@@ -249,11 +271,6 @@ def cmd_train(args) -> int:
         return 2
     # data ingestion under the FINAL cfg (checkpoint-restored on resume)
     if args.data:
-        if not os.path.exists(args.data):
-            # a typo'd path must not silently train on synthetic data
-            print(f"error: --data {args.data} does not exist",
-                  file=sys.stderr)
-            return 2
         ds = PianoRollDataset.load_npy(args.data)
         if ds.num_bars != cfg.model.num_bars:
             print(f"error: {args.data} has {ds.num_bars}-bar windows "
@@ -261,20 +278,9 @@ def cmd_train(args) -> int:
                   f"{cfg.model.num_bars}-bar windows; re-run preprocess "
                   f"with --config {cfg.name}", file=sys.stderr)
             return 2
-        # grid check: a cache quantized under another meter/resolution
-        # (preprocess --meter) must not silently train a config whose
-        # MidiSpec claims a different grid — generation/serving would
-        # export and re-quantize on the wrong meter forever after.
-        # Legacy caches carry no grid metadata and were all built on the
-        # 24/4 default.
-        cache_grid = ds.grid or (24, 4)
-        cfg_grid = (cfg.midi.steps_per_quarter, cfg.midi.quarters_per_bar)
-        if cache_grid != cfg_grid:
-            print(f"error: {args.data} was quantized on grid "
-                  f"{cache_grid[0]} steps/quarter x {cache_grid[1]} "
-                  f"quarters/bar but the config expects "
-                  f"{cfg_grid[0]}x{cfg_grid[1]}; pass the matching "
-                  f"--meter (or re-run preprocess)", file=sys.stderr)
+        err = _check_cache_grid(ds, cfg, args.data)
+        if err:
+            print(f"error: {err}", file=sys.stderr)
             return 2
     elif args.midi_glob:
         # one-shot workflow: tensorize the MIDI corpus in-process (the
@@ -290,7 +296,8 @@ def cmd_train(args) -> int:
               f"{args.midi_glob}", file=sys.stderr)
     else:
         ds = PianoRollDataset.from_corpus(
-            synth_corpus(64, n_bars=32, seed=cfg.train.seed),
+            synth_corpus(64, n_bars=32, seed=cfg.train.seed,
+                         quarters_per_bar=cfg.midi.quarters_per_bar),
             cfg.midi, cfg.model.num_bars)
     mesh = make_mesh(cfg.mesh)
     # holdout split AFTER restore so a resumed run honors the checkpoint's
@@ -391,6 +398,10 @@ def cmd_eval(args) -> int:
                                           infer_labels=True)
     elif args.data:
         ds = PianoRollDataset.load_npy(args.data)
+        err = _check_cache_grid(ds, cfg, args.data)
+        if err:
+            print(f"error: {err}", file=sys.stderr)
+            return 2
     else:
         print("error: eval needs --data or --midi-glob", file=sys.stderr)
         return 2
@@ -498,6 +509,10 @@ def cmd_eval_gen(args) -> int:
     if args.data:
         from musicvae_tpu.data import PianoRollDataset
         ref_ds = PianoRollDataset.load_npy(args.data)
+        err = _check_cache_grid(ref_ds, cfg, args.data)
+        if err:
+            print(f"error: {err}", file=sys.stderr)
+            return 2
     elif args.midi_glob:
         from musicvae_tpu.data import PianoRollDataset
         pieces, rc = _read_midi_corpus(args.midi_glob)

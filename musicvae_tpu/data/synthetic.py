@@ -19,11 +19,15 @@ MINOR = np.array([0, 2, 3, 5, 7, 8, 10])
 
 
 def synth_midi(seed: int, n_bars: int = 8, tpq: int = 480,
-               base_pitch: int = 60) -> Tuple[bytes, int, int]:
+               base_pitch: int = 60,
+               quarters_per_bar: int = 4) -> Tuple[bytes, int, int]:
     """One synthetic piece. Returns (smf_bytes, chord_class, key_class).
 
     chord/key classes are in [0, 24): root (12) x {major=0, minor=1}
     (the C4 conditioning vocabulary, config.ModelSpec.cond_*_classes).
+    ``quarters_per_bar`` shapes the bars AND the declared time
+    signature, so a --meter 3/4 run's synthetic fallback corpus passes
+    the meter validation instead of dying on its own 4/4 meta.
     """
     rng = np.random.default_rng(seed)
     root = int(rng.integers(0, 12))
@@ -32,13 +36,13 @@ def synth_midi(seed: int, n_bars: int = 8, tpq: int = 480,
     key_class = root * 2 + minor
     chord_class = key_class
 
-    ticks_per_bar = 4 * tpq
+    ticks_per_bar = quarters_per_bar * tpq
     notes: List[smf.Note] = []
     # melody: random walk on the scale, 8th notes with rests
     deg = int(rng.integers(0, 7))
     for bar in range(n_bars):
         t0 = bar * ticks_per_bar
-        for i in range(8):
+        for i in range(2 * quarters_per_bar):
             if rng.random() < 0.2:
                 continue
             deg = int(np.clip(deg + rng.integers(-2, 3), 0, 6))
@@ -51,9 +55,13 @@ def synth_midi(seed: int, n_bars: int = 8, tpq: int = 480,
                 p = int(scale[off]) - 12
                 notes.append(smf.Note(p, t0, t0 + ticks_per_bar, 80))
     notes.sort(key=lambda n: (n.start_tick, n.pitch, n.end_tick))
-    return smf.write_smf(notes, tpq), chord_class, key_class
+    return (smf.write_smf(notes, tpq, quarters_per_bar=quarters_per_bar),
+            chord_class, key_class)
 
 
-def synth_corpus(num_pieces: int, n_bars: int, seed: int = 0
+def synth_corpus(num_pieces: int, n_bars: int, seed: int = 0,
+                 quarters_per_bar: int = 4
                  ) -> List[Tuple[bytes, int, int]]:
-    return [synth_midi(seed * 100003 + i, n_bars) for i in range(num_pieces)]
+    return [synth_midi(seed * 100003 + i, n_bars,
+                       quarters_per_bar=quarters_per_bar)
+            for i in range(num_pieces)]

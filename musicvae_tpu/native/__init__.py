@@ -100,17 +100,36 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _build_failed:
             return _lib
         try:
-            lib = None
-            for force in (False, True):
-                path = build(force=force)
-                cand = ctypes.CDLL(path)
+            import shutil
+
+            def _version_ok(cand: ctypes.CDLL) -> bool:
                 try:
                     cand.mvae_abi_version.restype = ctypes.c_int32
-                    if cand.mvae_abi_version() == _ABI_VERSION:
-                        lib = cand
-                        break
+                    return cand.mvae_abi_version() == _ABI_VERSION
                 except AttributeError:
-                    pass    # pre-versioning .so → rebuild
+                    return False    # pre-versioning .so
+
+            lib = None
+            path = build()
+            cand = ctypes.CDLL(path)
+            if _version_ok(cand):
+                lib = cand
+            else:
+                # stale library: rebuild, then dlopen the result through
+                # a UNIQUE temp copy — dlopen caches by pathname, so
+                # re-opening the original path would return the stale
+                # handle even after os.replace swaps in the new file
+                path = build(force=True)
+                tmp = f"{path}.{os.getpid()}.abi"
+                shutil.copy2(path, tmp)
+                try:
+                    cand = ctypes.CDLL(tmp)
+                    if _version_ok(cand):
+                        lib = cand
+                finally:
+                    # the mapping outlives the unlink (POSIX)
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
             if lib is None:
                 raise RuntimeError("native ABI mismatch after rebuild")
             _bind(lib)

@@ -347,9 +347,7 @@ def test_meter_34_exact_bar_boundaries_and_roundtrip():
     spec34 = dataclasses.replace(SPEC, steps_per_quarter=32,
                                  quarters_per_bar=3)
     assert spec34.steps_per_bar == 96
-    # notes at quarters 0..5 (tpq=480): two 3/4 bars
-    data = _smf_with_timesig(3, 2, tpq=480)  # has one note at quarter 0
-    # build a longer 3/4 piece: six quarter notes
+    # a 3/4 piece of six quarter notes (quarters 0..5, tpq=480): two bars
     notes = [smf.Note(60 + i, i * 480, i * 480 + 240, 100)
              for i in range(6)]
     data = smf.write_smf(notes, 480, 500_000, quarters_per_bar=3)

@@ -4,6 +4,8 @@ Both implement the normative semantics; parity must be exact, including
 quantization and bar padding.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -199,3 +201,34 @@ def test_lib_path_read_only_package_dir(monkeypatch, tmp_path):
     p = _lib_path()
     assert p == str(tmp_path / "musicvae_tpu" / "libmvae_native.so")
     assert os.path.isdir(tmp_path / "musicvae_tpu")
+
+
+def test_stale_abi_library_forces_rebuild(tmp_path, monkeypatch):
+    """A cached .so with an old ABI version (possible with preserved
+    archive mtimes, where the mtime check alone would accept it) must be
+    rebuilt AND the rebuilt code actually loaded — dlopen caches by
+    pathname, so the loader reopens the rebuilt file through a unique
+    temp copy (code-review r4)."""
+    import subprocess
+
+    from musicvae_tpu import native
+
+    lib_path = str(tmp_path / "libmvae_native.so")
+    stale_src = tmp_path / "stale.c"
+    stale_src.write_text("int mvae_abi_version() { return 1; }\n")
+    subprocess.run(["g++", "-shared", "-fPIC", "-o", lib_path,
+                    str(stale_src)], check=True)
+    # future mtime: the mtime freshness check must NOT trigger a rebuild
+    future = os.path.getmtime(native._SRC) + 10_000
+    os.utime(lib_path, (future, future))
+
+    monkeypatch.setattr(native, "_lib_path", lambda: lib_path)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_build_failed", False)
+    lib = native.load()
+    assert lib is not None
+    assert lib.mvae_abi_version() == native._ABI_VERSION
+    # and it is genuinely functional, not the stale handle
+    notes, tpq, _, ts = native.parse_smf(
+        smf.write_smf([smf.Note(60, 0, 480, 100)], 480))
+    assert notes.shape[0] == 1 and tpq == 480
