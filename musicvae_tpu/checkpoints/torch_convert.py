@@ -88,6 +88,13 @@ def _require_conv_stem(cfg: Config) -> None:
             f"(ModelSpec.stem={cfg.model.stem!r}) — a beyond-reference "
             "architecture with no torch twin; checkpoint conversion "
             "applies to the parity configs (stem='conv') only")
+    if cfg.model.temporal != "gru":
+        raise ValueError(
+            f"config {cfg.name!r} uses the attention temporal core "
+            f"(ModelSpec.temporal={cfg.model.temporal!r}) — a "
+            "beyond-reference architecture with no torch twin; checkpoint "
+            "conversion applies to the parity configs (temporal='gru') "
+            "only")
 
 
 def torch_state_dict_to_flax(state_dict: Dict[str, Any],

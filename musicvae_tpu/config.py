@@ -71,6 +71,21 @@ class ModelSpec:
     patch_size: Tuple[int, int] = (8, 16)
     bar_feat_dim: int = 256              # per-bar feature vector (GRU input)
     gru_hidden: int = 256                # sequence/conductor GRU width
+    # Temporal core over the bar axis. "gru": the parity recurrence
+    # (reference behavior, torch-convertible). "attn": the non-recurrent
+    # TPU-first core (models/layers.py AttnStack) — teacher-forced decode
+    # runs ALL bars through batched causal-attention matmuls (no scan;
+    # the GRU scans are the patch family's measured MFU ceiling,
+    # docs/PALLAS_NOTES.md round 4), and generation scans an O(1)/bar
+    # KV-cache step. gru_hidden doubles as the attention width. Supported
+    # for kinds gru_seq and cond; conv_bar has no temporal core and the
+    # hier conductor stays GRU-only this round (build_model validates).
+    temporal: str = "gru"
+    attn_layers: int = 2                 # transformer depth (temporal="attn")
+    attn_heads: int = 4                  # attention heads
+    # learned-position table length = the longest window/sweep an attn
+    # model can see; raising it only grows params by 1 row x gru_hidden
+    attn_max_bars: int = 128
     num_bars: int = 1                    # bars per training example
     cond_chord_classes: int = 24         # 12 roots x {maj, min}
     cond_key_classes: int = 24
@@ -289,6 +304,27 @@ C2_MXU = Config(
                     free_bits=0.125, transpose_aug=5),
 )
 
+# The non-recurrent sibling of c2_mxu (beyond-reference, round-4 second
+# wave): same patch stem/head and capacity, but the bar-axis GRU replaced
+# by the causal-attention core (ModelSpec.temporal docstring). The GRU
+# scans are the patch family's measured MFU ceiling (PALLAS_NOTES round
+# 4); with attention the teacher-forced train step has NO scan at all —
+# every op is a batched MXU matmul. Same pipeline/loss/latent/generation
+# surface; measured MFU/quality rows in BASELINE.md.
+C2_TRF = Config(
+    name="c2_trf",
+    model=ModelSpec(kind="gru_seq", num_bars=4, z_dim=128,
+                    stem="patch", patch_size=(8, 16),
+                    enc_channels=(256, 256, 512),
+                    dec_channels=(512, 256, 256),
+                    bar_feat_dim=256, gru_hidden=512,
+                    temporal="attn", attn_layers=2, attn_heads=8),
+    # same regularization as c2_mxu — this capacity needs the KL floor
+    # and augmentation (config rationale in the c2_mxu comment above)
+    train=TrainSpec(batch_size=64, beta_warmup_steps=4000,
+                    free_bits=0.125, transpose_aug=5),
+)
+
 # The hierarchical sibling of c2_mxu: the same patch stem/head under the
 # C3 bar→phrase architecture (16-bar context, teacher-forced conductor).
 # Same rationale and defaults as c2_mxu; measured MFU/quality rows in
@@ -305,7 +341,7 @@ C3_MXU = Config(
 
 _CONFIGS = {c.name: c for c in
             (C1_CONV_BAR, C2_GRU_4BAR, C3_HIER_16BAR, C4_COND, C5_GEN_SWEEP,
-             C2_CROPPED, C2_MXU, C3_MXU)}
+             C2_CROPPED, C2_MXU, C2_TRF, C3_MXU)}
 
 
 def meter_grid(numerator: int, denominator: int,

@@ -247,6 +247,136 @@ class BarDecoderHead(nn.Module):
         return h[..., 0].astype(_dtype(self.logits_dtype))
 
 
+class AttnStack(nn.Module):
+    """Pre-LN transformer over the bar axis — the non-recurrent temporal
+    core (``ModelSpec.temporal="attn"``).
+
+    Why it exists (docs/PALLAS_NOTES.md round-4 ceiling attribution): the
+    patch-stem family's remaining MFU gap is the GRU scans — [B,H]-vector
+    recurrences that serialize N bars of small matmuls between the big
+    batched convs. Attention removes the recurrence: teacher-forced decode
+    becomes ONE set of [B·N]-batched MXU matmuls over the whole window
+    (``__call__`` with a causal mask), and only closed-loop generation
+    keeps a scan — ``step``, an O(1)-per-bar KV-cache update, the standard
+    TPU decode layout.
+
+    Two entry points, one parameter set (the BarDecoder teacher/step
+    pattern, models/vae.py module docstring):
+
+    - ``__call__(u)``: [B,N,D] → [B,N,H], all bars at once. Causal mask
+      when ``causal`` (decoder), full attention otherwise (encoder).
+    - ``step(cache, u, pos, start)``: one bar. ``cache`` is a per-layer
+      tuple of [B,n,H] K/V tensors written in place at ``pos``
+      (lax.dynamic_update_slice); attention reads positions
+      [start, pos] only, so a reset=1 bar starts a fresh segment —
+      the attention analog of the GRU h0 re-init.
+
+    Positions are SEGMENT-RELATIVE (``pos - start``): bar k of a segment
+    gets pos_emb[k] whether the segment begins the sweep or follows a
+    phrase reset. This makes the GRU family's seam semantics exact here
+    too: a sweep continued across a reset equals a fresh sweep seeded
+    with the previous segment's last bar (tested in test_models.py).
+    Softmax runs in float32 regardless of compute dtype.
+    """
+
+    hidden: int
+    num_layers: int = 2
+    heads: int = 4
+    max_len: int = 128
+    causal: bool = True
+    dtype: str = "bfloat16"
+
+    def setup(self):
+        if self.hidden % self.heads:
+            raise ValueError(f"attn hidden {self.hidden} not divisible by "
+                             f"{self.heads} heads")
+        dt = _dtype(self.dtype)
+        self._dt = dt
+        dense = lambda f: nn.Dense(f, dtype=dt, param_dtype=jnp.float32)
+        self.inp = dense(self.hidden)
+        self.pos_emb = self.param("pos_emb", nn.initializers.normal(0.02),
+                                  (self.max_len, self.hidden), jnp.float32)
+        self.ln1 = [nn.LayerNorm(dtype=dt, param_dtype=jnp.float32)
+                    for _ in range(self.num_layers)]
+        self.ln2 = [nn.LayerNorm(dtype=dt, param_dtype=jnp.float32)
+                    for _ in range(self.num_layers)]
+        self.qkv = [dense(3 * self.hidden) for _ in range(self.num_layers)]
+        self.wo = [dense(self.hidden) for _ in range(self.num_layers)]
+        self.mlp_up = [dense(4 * self.hidden)
+                       for _ in range(self.num_layers)]
+        self.mlp_dn = [dense(self.hidden) for _ in range(self.num_layers)]
+        self.ln_f = nn.LayerNorm(dtype=dt, param_dtype=jnp.float32)
+
+    # masked-softmax attention shared by both entry points: scores and
+    # softmax in f32 (bf16 logits lose ~3 decimal digits; the two paths
+    # must agree numerically for the closed-loop consistency contract)
+    def _attend(self, q, k, v, mask):
+        dh = self.hidden // self.heads
+        scores = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / dh ** 0.5)
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        w = jax.nn.softmax(scores, axis=-1).astype(self._dt)
+        return jnp.einsum("...hqk,...khd->...qhd", w, v)
+
+    def _split_heads(self, x):
+        *lead, _ = x.shape
+        return x.reshape(*lead, self.heads, self.hidden // self.heads)
+
+    def __call__(self, u: jax.Array) -> jax.Array:
+        b, n, _ = u.shape
+        if n > self.max_len:
+            raise ValueError(
+                f"sequence of {n} bars exceeds attn_max_bars="
+                f"{self.max_len}; raise ModelSpec.attn_max_bars (the "
+                "learned position table) for longer windows/sweeps")
+        h = self.inp(u.astype(self._dt)) + self.pos_emb[:n].astype(self._dt)
+        if self.causal:
+            mask = jnp.tril(jnp.ones((n, n), bool))[None, None]
+        else:
+            mask = jnp.ones((1, 1, n, n), bool)
+        for l in range(self.num_layers):
+            q, k, v = jnp.split(self.qkv[l](self.ln1[l](h)), 3, axis=-1)
+            o = self._attend(self._split_heads(q), self._split_heads(k),
+                             self._split_heads(v), mask)
+            h = h + self.wo[l](o.reshape(b, n, self.hidden))
+            h = h + self.mlp_dn[l](nn.gelu(self.mlp_up[l](self.ln2[l](h))))
+        return self.ln_f(h)
+
+    def init_cache(self, batch: int, length: int):
+        """Zeroed per-layer (K, V) cache for a ``length``-bar sweep."""
+        z = jnp.zeros((batch, length, self.hidden), self._dt)
+        return tuple((z, z) for _ in range(self.num_layers))
+
+    def step(self, cache, u: jax.Array, pos: jax.Array, start: jax.Array):
+        """One closed-loop bar: u [B,D], pos scalar int32, start [B] int32
+        (first position of the current segment). Returns (new_cache,
+        out [B,H])."""
+        b = u.shape[0]
+        n = cache[0][0].shape[1]
+        # segment-relative learned position (see class docstring)
+        h = self.inp(u.astype(self._dt)) \
+            + jnp.take(self.pos_emb, pos - start, axis=0).astype(self._dt)
+        idx = jnp.arange(n)
+        # [B,1,1,n]: heads and the single query broadcast
+        mask = ((idx[None] >= start[:, None])
+                & (idx[None] <= pos))[:, None, None, :]
+        new_cache = []
+        for l in range(self.num_layers):
+            q, k, v = jnp.split(self.qkv[l](self.ln1[l](h)), 3, axis=-1)
+            kc = jax.lax.dynamic_update_slice(
+                cache[l][0], k[:, None, :].astype(self._dt), (0, pos, 0))
+            vc = jax.lax.dynamic_update_slice(
+                cache[l][1], v[:, None, :].astype(self._dt), (0, pos, 0))
+            o = self._attend(self._split_heads(q[:, None, :]),
+                             self._split_heads(kc), self._split_heads(vc),
+                             mask)
+            h = h + self.wo[l](o.reshape(b, 1, self.hidden)[:, 0])
+            h = h + self.mlp_dn[l](nn.gelu(self.mlp_up[l](self.ln2[l](h))))
+            new_cache.append((kc, vc))
+        return tuple(new_cache), self.ln_f(h)
+
+
 class ScanGRU(nn.Module):
     """GRU over the bar axis: inputs [B,N,D] (+init h) → hiddens [B,N,H]."""
 

@@ -57,10 +57,17 @@ class BarDecoder(nn.Module):
                                             stem=spec.stem,
                                             patch=spec.patch_size)
         if spec.kind != "conv_bar":
-            self.h_init = nn.Dense(spec.gru_hidden, dtype=dt,
-                                   param_dtype=jnp.float32)
-            self.seq_gru = nn.GRUCell(features=spec.gru_hidden, dtype=dt,
-                                      param_dtype=jnp.float32)
+            if spec.temporal == "attn":
+                self.seq_attn = layers.AttnStack(
+                    hidden=spec.gru_hidden, num_layers=spec.attn_layers,
+                    heads=spec.attn_heads, max_len=spec.attn_max_bars,
+                    causal=True, dtype=spec.dtype)
+            else:
+                self.h_init = nn.Dense(spec.gru_hidden, dtype=dt,
+                                       param_dtype=jnp.float32)
+                self.seq_gru = nn.GRUCell(features=spec.gru_hidden,
+                                          dtype=dt,
+                                          param_dtype=jnp.float32)
         if spec.kind == "hier":
             self.cond_init = nn.Dense(spec.gru_hidden, dtype=dt,
                                       param_dtype=jnp.float32)
@@ -137,14 +144,21 @@ class BarDecoder(nn.Module):
                 gru_parts.append(feats)
             if spec.kind == "cond" and cond_vec is not None:
                 gru_parts.append(cond_vec.astype(self._dt))
-            xs = {"z": z_bars, "gru_in": jnp.concatenate(gru_parts, -1),
-                  "reset": jnp.zeros((b, n)).at[:, 0].set(1.0)}
-            if spec.kind == "hier":
-                xs["z_phrase"] = z_phrase_bars
-            h = jnp.zeros((b, spec.gru_hidden), self._dt)
-            _, (out, c) = self.rnn_step((h, h), xs)
-            out = out.reshape(b * n, -1)
-            c = c.reshape(b * n, -1) if spec.kind == "hier" else None
+            seq_in = jnp.concatenate(gru_parts, -1)
+            if spec.temporal == "attn":
+                # the non-recurrent core: every bar at once through
+                # batched causal-attention matmuls — NO scan in the
+                # train step (AttnStack docstring)
+                out = self.seq_attn(seq_in).reshape(b * n, -1)
+            else:
+                xs = {"z": z_bars, "gru_in": seq_in,
+                      "reset": jnp.zeros((b, n)).at[:, 0].set(1.0)}
+                if spec.kind == "hier":
+                    xs["z_phrase"] = z_phrase_bars
+                h = jnp.zeros((b, spec.gru_hidden), self._dt)
+                _, (out, c) = self.rnn_step((h, h), xs)
+                out = out.reshape(b * n, -1)
+                c = c.reshape(b * n, -1) if spec.kind == "hier" else None
 
         head_in = self._head_in(
             z_bars.reshape(b * n, -1),
@@ -199,17 +213,47 @@ class BarDecoder(nn.Module):
                                     jnp.concatenate(gru_parts, -1),
                                     xs.get("z_phrase"))
         logits = self.head(self._head_in(z, feat, cond, out, c))
+        bar = self._emit(logits, xs)
+        return (h, hc, bar), (logits, bar)
+
+    def _emit(self, logits: jax.Array, xs) -> jax.Array:
+        """Logits → binary bar, deterministic or Bernoulli (shared by the
+        GRU and attention generation steps)."""
         if "bin_key" in xs:
             # stochastic mode (GenSpec.sample_mode "bernoulli"): per-bar
             # PRNG key rides the scan as raw key data
             from musicvae_tpu.midi.tensorize import pitch_mask
             from musicvae_tpu.ops.binarize import sample_bernoulli_logits
-            bar = sample_bernoulli_logits(
+            return sample_bernoulli_logits(
                 jax.random.wrap_key_data(xs["bin_key"][0]), logits,
                 xs["bin_temp"][0], pitch_mask(self.midi), dtype=jnp.uint8)
-        else:
-            bar = self._binarize(logits)
-        return (h, hc, bar), (logits, bar)
+        return self._binarize(logits)
+
+    def attn_step(self, carry, xs):
+        """Closed-loop generation step for temporal="attn" (scan-lifted,
+        the attention analog of ``step``). Carry: (per-layer KV cache,
+        pos scalar, segment-start [B], prev bar). A reset=1 bar starts a
+        new attention segment (start ← pos) — state isolation across
+        phrase seams, exactly like the GRU h0 re-init — while prev_bar
+        chains across the seam (see ``step``'s phrase-boundary note)."""
+        spec = self.spec
+        cache, pos, start, prev_bar = carry
+        z = xs["z"]
+        feat = cond = None
+        parts = [z.astype(self._dt)]
+        if spec.use_prev_bar:
+            feat = self.prev_feat(prev_bar)
+            parts.append(feat)
+        if "cond" in xs:
+            cond = xs["cond"]
+            if spec.kind == "cond":
+                parts.append(cond.astype(self._dt))
+        start = jnp.where(xs["reset"] > 0, pos, start)
+        cache, out = self.seq_attn.step(
+            cache, jnp.concatenate(parts, -1), pos, start)
+        logits = self.head(self._head_in(z, feat, cond, out, None))
+        bar = self._emit(logits, xs)
+        return (cache, pos + 1, start, bar), (logits, bar)
 
 
 class PianoRollVAE(nn.Module):
@@ -221,6 +265,20 @@ class PianoRollVAE(nn.Module):
 
     def setup(self):
         spec = self.spec
+        if spec.temporal not in ("gru", "attn"):
+            raise ValueError(f"unknown ModelSpec.temporal "
+                             f"{spec.temporal!r}; expected 'gru' or 'attn'")
+        if spec.temporal == "attn" and spec.kind not in ("gru_seq", "cond"):
+            raise ValueError(
+                f"temporal='attn' supports kinds 'gru_seq' and 'cond'; "
+                f"kind={spec.kind!r} "
+                + ("has no temporal core" if spec.kind == "conv_bar" else
+                   "keeps the GRU conductor (hier+attn not built — "
+                   "ModelSpec.temporal docstring)"))
+        if spec.temporal == "attn" and spec.num_bars > spec.attn_max_bars:
+            raise ValueError(
+                f"num_bars={spec.num_bars} exceeds attn_max_bars="
+                f"{spec.attn_max_bars} (the learned position table)")
         if spec.kind == "conv_bar":
             if spec.stem == "patch":
                 self.enc_trunk = layers.PatchTrunk(
@@ -235,7 +293,15 @@ class PianoRollVAE(nn.Module):
             self.enc_feat = feat_cls(spec.bar_feat_dim, spec.enc_channels,
                                      spec.dtype, spec.use_pallas_conv1,
                                      stem=spec.stem, patch=spec.patch_size)
-            self.enc_gru = layers.ScanGRU(spec.gru_hidden, spec.dtype)
+            if spec.temporal == "attn":
+                # bidirectional over the window (the encoder sees the
+                # whole example; only the decoder is causal)
+                self.enc_attn = layers.AttnStack(
+                    hidden=spec.gru_hidden, num_layers=spec.attn_layers,
+                    heads=spec.attn_heads, max_len=spec.attn_max_bars,
+                    causal=False, dtype=spec.dtype)
+            else:
+                self.enc_gru = layers.ScanGRU(spec.gru_hidden, spec.dtype)
             if spec.kind == "hier":
                 self.phrase_head = layers.GaussianHead(spec.z_phrase_dim,
                                                        spec.dtype)
@@ -258,7 +324,7 @@ class PianoRollVAE(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1, out_axes=1,
-            methods=["step", "rnn_step"],
+            methods=["step", "rnn_step", "attn_step"],
         )(spec=spec, midi=self.midi, name="decoder")
 
     # ---- pieces ----------------------------------------------------------
@@ -289,7 +355,12 @@ class PianoRollVAE(nn.Module):
         f = self._bar_feats(x)                                  # [B,N,F]
         if cond_vec is not None:
             f = jnp.concatenate([f, cond_vec], axis=-1)
-        hs = self.enc_gru(f)                                    # [B,N,H]
+        if spec.temporal == "attn":
+            hs = self.enc_attn(f)                               # [B,N,H]
+        else:
+            hs = self.enc_gru(f)
+        # bidirectional attention makes position N-1 see the whole
+        # window, so "last hidden" summarizes either way
         h_last = hs[:, -1]
         if spec.kind == "hier":
             mu_p, lv_p = self.phrase_head(h_last)
@@ -396,13 +467,25 @@ class PianoRollVAE(nn.Module):
                                   z_phrase[:, None, :],
                                   (b, n, z_phrase.shape[-1])))
         dt = layers._dtype(spec.dtype)
-        h = jnp.zeros((b, spec.gru_hidden), dt)
         # prev-bar carry is uint8 (binary content; must match _binarize's
         # output dtype for a well-typed scan carry)
         prev = (seed_bar.astype(jnp.uint8) if seed_bar is not None
                 else jnp.zeros((b, self.midi.steps_per_bar,
                                 self.midi.num_pitches), jnp.uint8))
-        _, (logits, bars) = self.decoder.step((h, h, prev), xs)
+        if spec.temporal == "attn":
+            if n > spec.attn_max_bars:
+                raise ValueError(
+                    f"{n}-bar sweep exceeds attn_max_bars="
+                    f"{spec.attn_max_bars} (the learned position table); "
+                    "raise ModelSpec.attn_max_bars or shorten the sweep")
+            kv = jnp.zeros((b, n, spec.gru_hidden), dt)
+            cache = tuple((kv, kv) for _ in range(spec.attn_layers))
+            carry = (cache, jnp.zeros((), jnp.int32),
+                     jnp.zeros((b,), jnp.int32), prev)
+            _, (logits, bars) = self.decoder.attn_step(carry, xs)
+        else:
+            h = jnp.zeros((b, spec.gru_hidden), dt)
+            _, (logits, bars) = self.decoder.step((h, h, prev), xs)
         return logits, bars
 
 

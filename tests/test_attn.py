@@ -1,0 +1,256 @@
+"""The non-recurrent temporal core (ModelSpec.temporal="attn",
+models/layers.py AttnStack): dual-path consistency, seam semantics,
+training, and gating. SURVEY §4.2/§4.5 test strategy; the core exists to
+break the patch family's GRU-scan MFU ceiling (docs/PALLAS_NOTES.md
+round 4) so its contract is that the parallel teacher path and the
+KV-cache generation step are the SAME function."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicvae_tpu.config import get_config
+from musicvae_tpu.models import init_params
+from musicvae_tpu.models.layers import AttnStack
+
+from conftest import cpu_friendly
+
+
+def _tiny_trf_cfg(**model_kw):
+    """c2_trf shrunk for the CPU backend (same topology, tiny widths)."""
+    cfg = get_config("c2_trf")
+    return cpu_friendly(cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, enc_channels=(8, 8, 16), dec_channels=(16, 8, 8),
+            z_dim=8, gru_hidden=16, bar_feat_dim=16, attn_heads=4,
+            **model_kw)))
+
+
+def _bars(cfg, batch=2, key=1):
+    return jax.random.bernoulli(
+        jax.random.key(key), 0.1,
+        (batch, cfg.model.num_bars, cfg.midi.steps_per_bar,
+         cfg.midi.num_pitches)).astype(jnp.float32)
+
+
+# --- AttnStack unit: parallel __call__ == scanned step -----------------------
+
+def test_attn_stack_step_matches_parallel():
+    """The KV-cache step replayed over a sequence must reproduce the
+    batched causal forward exactly (same weights, same softmax sets —
+    the closed-loop consistency contract)."""
+    b, n, d, h = 3, 7, 12, 16
+    stack = AttnStack(hidden=h, num_layers=2, heads=4, max_len=16,
+                      causal=True, dtype="float32")
+    u = jax.random.normal(jax.random.key(0), (b, n, d))
+    params = stack.init(jax.random.key(1), u)["params"]
+    out_par = stack.apply({"params": params}, u)                # [B,N,H]
+
+    def scan_steps(params):
+        cache = tuple((jnp.zeros((b, n, h)), jnp.zeros((b, n, h)))
+                      for _ in range(2))
+        start = jnp.zeros((b,), jnp.int32)
+        outs = []
+        for i in range(n):
+            cache, o = stack.apply({"params": params}, cache, u[:, i],
+                                   jnp.int32(i), start,
+                                   method=stack.step)
+            outs.append(o)
+        return jnp.stack(outs, axis=1)
+
+    out_step = scan_steps(params)
+    np.testing.assert_allclose(np.asarray(out_par), np.asarray(out_step),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attn_stack_segment_isolation():
+    """With start advanced to position k, steps at positions >= k must
+    ignore everything before k — replaying the suffix as a fresh
+    sequence (segment-relative positions) gives identical outputs."""
+    b, n, d, h = 2, 6, 10, 16
+    k = 3
+    stack = AttnStack(hidden=h, num_layers=2, heads=2, max_len=16,
+                      causal=True, dtype="float32")
+    u = jax.random.normal(jax.random.key(0), (b, n, d))
+    params = stack.init(jax.random.key(1), u)["params"]
+
+    def run(u_seq, start_fn, cache_len):
+        cache = tuple((jnp.zeros((b, cache_len, h)),
+                       jnp.zeros((b, cache_len, h))) for _ in range(2))
+        outs = []
+        for i in range(u_seq.shape[1]):
+            cache, o = stack.apply({"params": params}, cache, u_seq[:, i],
+                                   jnp.int32(i), start_fn(i),
+                                   method=stack.step)
+            outs.append(o)
+        return jnp.stack(outs, axis=1)
+
+    # one pass with a segment boundary at k (start jumps to k)
+    seg = run(u, lambda i: jnp.full((b,), 0 if i < k else k, jnp.int32), n)
+    # the suffix alone, from a fresh cache
+    fresh = run(u[:, k:], lambda i: jnp.zeros((b,), jnp.int32), n - k)
+    np.testing.assert_allclose(np.asarray(seg[:, k:]), np.asarray(fresh),
+                               rtol=1e-5, atol=1e-5)
+
+
+# --- model level: teacher decode == closed-loop generation -------------------
+
+def test_attn_closed_loop_matches_teacher():
+    """Generate bars closed-loop, then teacher-decode the SAME bars with
+    the same per-bar z: the logits must agree — the attention analog of
+    the GRU family's shared-weight teacher/step contract (models/vae.py
+    module docstring)."""
+    cfg = _tiny_trf_cfg()
+    model, params = init_params(cfg, jax.random.key(0))
+    b, n = 2, cfg.model.num_bars
+    z = jax.random.normal(jax.random.key(3), (b, n, cfg.model.z_dim))
+    reset = jnp.zeros((b, n)).at[:, 0].set(1.0)
+    gen_logits, bars = model.apply({"params": params}, z, reset,
+                                   method=model.generate)
+
+    def teacher(m, z_bars, x):
+        return m.decoder.teacher(z_bars, x)
+
+    t_logits = model.apply({"params": params}, z,
+                           bars.astype(jnp.float32), method=teacher)
+    np.testing.assert_allclose(np.asarray(gen_logits),
+                               np.asarray(t_logits), rtol=1e-4, atol=1e-4)
+
+
+def test_attn_seam_equivalence():
+    """A sweep with an interior phrase reset equals two chained sweeps
+    (the second seeded with the first's last bar) — exact because
+    positions are segment-relative and prev-bar chains across the seam
+    (AttnStack docstring / BarDecoder.step phrase-boundary note)."""
+    cfg = _tiny_trf_cfg()
+    model, params = init_params(cfg, jax.random.key(0))
+    b, k = 2, 3
+    z = jax.random.normal(jax.random.key(5), (b, 2 * k, cfg.model.z_dim))
+    reset = jnp.zeros((b, 2 * k)).at[:, 0].set(1.0).at[:, k].set(1.0)
+    _, bars_joint = model.apply({"params": params}, z, reset,
+                                method=model.generate)
+
+    r1 = jnp.zeros((b, k)).at[:, 0].set(1.0)
+    _, bars_a = model.apply({"params": params}, z[:, :k], r1,
+                            method=model.generate)
+    _, bars_b = model.apply({"params": params}, z[:, k:], r1,
+                            seed_bar=bars_a[:, -1], method=model.generate)
+    np.testing.assert_array_equal(np.asarray(bars_joint[:, :k]),
+                                  np.asarray(bars_a))
+    np.testing.assert_array_equal(np.asarray(bars_joint[:, k:]),
+                                  np.asarray(bars_b))
+
+
+def test_attn_forward_grads_finite_nonzero():
+    cfg = _tiny_trf_cfg()
+    model, params = init_params(cfg, jax.random.key(0))
+    x = _bars(cfg)
+    from musicvae_tpu.midi.tensorize import pitch_mask
+    from musicvae_tpu.ops.losses import elbo_loss
+
+    def loss(p):
+        lg, lat = model.apply({"params": p}, x,
+                              rngs={"latent": jax.random.key(3)})
+        mu, logvar = lat[0]
+        l, _ = elbo_loss(lg, x, pitch_mask(cfg.midi), mu, logvar,
+                         jnp.float32(1.0))
+        return l
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+    assert all(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_attn_cond_kind_forward_and_generate():
+    """temporal='attn' under the conditional kind: the cond vector rides
+    the attention input and the head, matching the GRU layout."""
+    cfg = _tiny_trf_cfg(kind="cond")
+    model, params = init_params(cfg, jax.random.key(0))
+    x = _bars(cfg)
+    chord = jnp.ones((2, cfg.model.num_bars), jnp.int32)
+    key_sig = jnp.ones((2,), jnp.int32)
+    logits, _ = model.apply({"params": params}, x, chord=chord,
+                            key_sig=key_sig,
+                            rngs={"latent": jax.random.key(2)})
+    assert logits.shape == x.shape
+    z = jax.random.normal(jax.random.key(4), (2, 3, cfg.model.z_dim))
+    reset = jnp.zeros((2, 3)).at[:, 0].set(1.0)
+    _, bars = model.apply({"params": params}, z, reset,
+                          chord=jnp.ones((2, 3), jnp.int32),
+                          key_sig=key_sig, method=model.generate)
+    assert bars.shape == (2, 3, 96, 128)
+
+
+def test_attn_train_steps_reduce_loss():
+    """A few optimizer steps through the production trainer machinery
+    move the loss — the attn core trains end to end."""
+    import optax
+    from musicvae_tpu.midi.tensorize import pitch_mask
+    from musicvae_tpu.ops.losses import elbo_loss
+
+    cfg = _tiny_trf_cfg()
+    model, params = init_params(cfg, jax.random.key(0))
+    x = _bars(cfg, batch=4)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, key):
+        def loss(p):
+            lg, lat = model.apply({"params": p}, x,
+                                  rngs={"latent": key})
+            mu, logvar = lat[0]
+            l, _ = elbo_loss(lg, x, pitch_mask(cfg.midi), mu, logvar,
+                             jnp.float32(0.0))
+            return l
+        l, g = jax.value_and_grad(loss)(p)
+        up, s = opt.update(g, s)
+        return optax.apply_updates(p, up), s, l
+
+    losses = []
+    key = jax.random.key(7)
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        params, opt_state, l = step(params, opt_state, sub)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+
+
+# --- gating / validation ------------------------------------------------------
+
+def test_attn_torch_convert_rejected():
+    from musicvae_tpu.checkpoints.torch_convert import (
+        flax_params_to_torch_state_dict, torch_state_dict_to_flax)
+
+    cfg = cpu_friendly(get_config("c2_trf").replace(
+        model=dataclasses.replace(get_config("c2_trf").model,
+                                  stem="conv",
+                                  enc_channels=(8, 8, 16, 16, 16),
+                                  dec_channels=(16, 16, 16, 8, 8),
+                                  z_dim=8, gru_hidden=16, bar_feat_dim=16,
+                                  attn_heads=4)))
+    _, params = init_params(cfg, jax.random.key(0))
+    with pytest.raises(ValueError, match="temporal"):
+        flax_params_to_torch_state_dict(params, cfg)
+    with pytest.raises(ValueError, match="temporal"):
+        torch_state_dict_to_flax({}, cfg)
+
+
+def test_attn_unsupported_kinds_rejected():
+    for kind, extra in (("hier", {}), ("conv_bar", {"use_prev_bar": False})):
+        cfg = _tiny_trf_cfg(kind=kind, **extra)
+        with pytest.raises(ValueError, match="temporal='attn'"):
+            init_params(cfg, jax.random.key(0))
+
+
+def test_attn_sweep_beyond_position_table_rejected():
+    cfg = _tiny_trf_cfg(attn_max_bars=4)
+    model, params = init_params(cfg, jax.random.key(0))
+    z = jax.random.normal(jax.random.key(4), (1, 5, cfg.model.z_dim))
+    reset = jnp.zeros((1, 5)).at[:, 0].set(1.0)
+    with pytest.raises(ValueError, match="attn_max_bars"):
+        model.apply({"params": params}, z, reset, method=model.generate)
