@@ -43,6 +43,10 @@ def main() -> int:
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--k", type=int, default=100)
     p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--adam-mu-dtype", default=None,
+                   choices=[None, "float32", "bfloat16"],
+                   help="TrainSpec.adam_mu_dtype: dtype of Adam's first-"
+                        "moment buffer (round-5 optimizer-traffic A/B)")
     p.add_argument("--pallas-loss", action="store_true",
                    help="TrainSpec.use_pallas_loss=True: the train step's "
                         "differentiated masked-BCE runs through the "
@@ -74,6 +78,10 @@ def main() -> int:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                     use_pallas_loss=True))
         overrides["use_pallas_loss"] = True
+    if args.adam_mu_dtype:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, adam_mu_dtype=args.adam_mu_dtype))
+        overrides["adam_mu_dtype"] = args.adam_mu_dtype
     log(f"backend: {jax.default_backend()}; config {cfg.name} "
         f"overrides={overrides} batch={cfg.train.batch_size} K={args.k}")
 

@@ -41,13 +41,19 @@ def _check_cache_grid(ds, cfg, path: str):
     error string. Shared by train/eval/eval-gen --data: a cache built
     under another meter (preprocess --meter) must never silently feed a
     model whose MidiSpec claims a different grid. Legacy caches carry no
-    grid metadata; they were all built on the 24/4 default."""
-    cache_grid = ds.grid or (24, 4)
-    cfg_grid = (cfg.midi.steps_per_quarter, cfg.midi.quarters_per_bar)
-    if cache_grid != cfg_grid:
+    grid metadata; they were all built on the 24/4 default. Only the
+    GRID (resolution + bar length) gates reuse — the declared meter
+    affects exports, not quantization, so a 6/8 cache serves a 3/4
+    config (identical 32×3 grid) and vice versa."""
+    g = ds.grid or (24, 4)
+    cache_grid = (g[0], g[1], g[2] if len(g) > 2 else 0)
+    cache_spb = cache_grid[2] or cache_grid[0] * cache_grid[1]
+    cfg_grid = (cfg.midi.steps_per_quarter, cfg.midi.quarters_per_bar,
+                cfg.midi.steps_per_bar)
+    if (cache_grid[0], cache_spb) != (cfg_grid[0], cfg_grid[2]):
         return (f"{path} was quantized on grid {cache_grid[0]} "
-                f"steps/quarter x {cache_grid[1]} quarters/bar but the "
-                f"config expects {cfg_grid[0]}x{cfg_grid[1]}; pass the "
+                f"steps/quarter x {cache_spb} steps/bar but the "
+                f"config expects {cfg_grid[0]}x{cfg_grid[2]}; pass the "
                 f"matching --meter (or re-run preprocess)")
     return None
 
@@ -83,13 +89,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "(bar boundaries will follow the config, not the "
                         "file; default is a hard error)")
     p.add_argument("--meter", default=None, metavar="N/D",
-                   help="train/ingest in this meter: the grid adapts "
-                        "(config.meter_grid) so bars stay the same "
-                        "tensor shape with EXACT bar boundaries — e.g. "
-                        "3/4 becomes three 32-step quarters per 96-step "
-                        "bar. Supported: any meter whose quarters/bar "
-                        "is a whole number dividing steps_per_bar (3/4, "
-                        "6/8, 2/4, 2/2, 12/8, ...). Exports declare it")
+                   help="train/ingest in this meter with EXACT bar "
+                        "boundaries (config.meter_grid). Meters fitting "
+                        "the 96-step bar adapt the grid RESOLUTION "
+                        "(3/4 -> three 32-step quarters; also 6/8, 2/4, "
+                        "2/2, 12/8, ...); other meters adapt the BAR "
+                        "LENGTH at 24 steps/quarter (5/4 -> 120-step "
+                        "bars, 7/8 -> 84). Exports declare the ORIGINAL "
+                        "meter back (6/8 stays 6/8)")
 
 
 def _apply_midi_overrides(cfg, args):
@@ -110,11 +117,9 @@ def _apply_midi_overrides(cfg, args):
             raise _UsageError(f"--meter expects N/D (e.g. 3/4), "
                               f"got {args.meter!r}") from None
         try:
-            spq, qpb = meter_grid(num, den, cfg.midi.steps_per_bar)
+            kw.update(meter_grid(num, den, cfg.midi.steps_per_bar))
         except ValueError as e:
             raise _UsageError(str(e)) from None
-        kw["steps_per_quarter"] = spq
-        kw["quarters_per_bar"] = qpb
     if kw:
         cfg = cfg.replace(midi=dataclasses.replace(cfg.midi, **kw))
     return cfg
@@ -162,8 +167,7 @@ def cmd_preprocess(args) -> int:
         infer = not args.no_infer_labels
     else:
         pieces = synth_corpus(args.synthetic_pieces, n_bars=32,
-                              seed=cfg.train.seed,
-                              quarters_per_bar=cfg.midi.quarters_per_bar)
+                              seed=cfg.train.seed, meter=cfg.midi.meter)
         infer = False  # synthetic pieces carry ground-truth labels
     ds = PianoRollDataset.from_corpus(pieces, cfg.midi, cfg.model.num_bars,
                                       infer_labels=infer)
@@ -185,6 +189,7 @@ def cmd_train(args) -> int:
     import dataclasses
     overrides = {k: v for k, v in (
         ("num_steps", args.steps),
+        ("batch_size", args.batch_size),
         ("beta_schedule", args.beta_schedule),
         ("beta_cycle_steps", args.beta_cycle_steps),
         ("beta_warmup_steps", args.beta_warmup_steps),
@@ -297,7 +302,7 @@ def cmd_train(args) -> int:
     else:
         ds = PianoRollDataset.from_corpus(
             synth_corpus(64, n_bars=32, seed=cfg.train.seed,
-                         quarters_per_bar=cfg.midi.quarters_per_bar),
+                         meter=cfg.midi.meter),
             cfg.midi, cfg.model.num_bars)
     mesh = make_mesh(cfg.mesh)
     # holdout split AFTER restore so a resumed run honors the checkpoint's
@@ -821,10 +826,13 @@ def cmd_describe(args) -> int:
         "latest_step": steps[-1],
         "quarantined": quarantined,
         "roll": f"{cfg.midi.steps_per_bar}x{cfg.midi.num_pitches}",
-        # the tensorization meter (a --meter 3/4 run reports 3/4) and
-        # the conv-stem family (parity "conv" vs the MXU "patch" layout)
-        "meter": f"{cfg.midi.quarters_per_bar}/4",
+        # the tensorization meter — the ORIGINAL declared signature (a
+        # --meter 6/8 run reports 6/8, not the grid-equivalent 3/4), the
+        # conv-stem family (parity "conv" vs the MXU "patch" layout), and
+        # the temporal core (parity "gru" vs the non-recurrent "attn")
+        "meter": "{}/{}".format(*cfg.midi.meter),
         "stem": cfg.model.stem,
+        "temporal": cfg.model.temporal,
         "window_bars": cfg.model.num_bars,
         "dtype": cfg.model.dtype,
         # from the embedded config, not the weights: shape-only inspect
@@ -1916,6 +1924,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="with --midi-glob: JSON sidecar "
                         "{basename: {chord, key}} as in preprocess")
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="global batch size (config default; must divide "
+                        "by the data-axis mesh size)")
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--beta-schedule", choices=["linear", "cyclical"],

@@ -20,7 +20,24 @@ class MidiSpec:
     """Piano-roll tensorization semantics (midi/SEMANTICS.md)."""
 
     steps_per_quarter: int = 24          # grid resolution
-    quarters_per_bar: int = 4            # assume 4/4
+    quarters_per_bar: int = 4            # whole quarters per bar (0 when
+    #                                      the meter isn't a whole number
+    #                                      of quarters — see bar_steps)
+    # The bar TENSOR length in grid steps. 0 (default) derives it as
+    # steps_per_quarter * quarters_per_bar (96 on the 4/4 default); a
+    # meter whose bar is not a whole number of quarters (7/8 = 3.5)
+    # sets it explicitly (config.meter_grid: 7/8 → 84 steps at the
+    # native 24-step/quarter resolution). Models compile for
+    # [steps_per_bar, num_pitches]; the decoder heads ceil-pad-crop so
+    # any bar length works (models/layers.py).
+    bar_steps: int = 0
+    # The DECLARED meter, carried through cache → checkpoint → export so
+    # a 6/8 corpus exports 6/8 files (not the grid-equivalent "3/4").
+    # 0/0 (default) falls back to quarters_per_bar/4 — the pre-round-5
+    # behavior, so restored old checkpoints keep their meter. Use the
+    # ``meter`` property, never these fields directly.
+    meter_numerator: int = 0
+    meter_denominator: int = 0
     num_pitches: int = 128               # full MIDI pitch axis
     pitch_lo: int = 0                    # crop [lo, hi) — loss-masked region
     pitch_hi: int = 128
@@ -40,7 +57,18 @@ class MidiSpec:
 
     @property
     def steps_per_bar(self) -> int:
-        return self.steps_per_quarter * self.quarters_per_bar  # 96
+        return self.bar_steps or \
+            self.steps_per_quarter * self.quarters_per_bar  # 96 on 4/4
+
+    @property
+    def meter(self) -> Tuple[int, int]:
+        """The declared time signature (numerator, denominator) — what
+        exports write into the 0x58 meta and `describe` reports. Falls
+        back to quarters_per_bar/4 for specs/checkpoints predating the
+        explicit meter fields."""
+        if self.meter_numerator > 0 and self.meter_denominator > 0:
+            return (self.meter_numerator, self.meter_denominator)
+        return (self.quarters_per_bar, 4)
 
     @property
     def cropped_pitches(self) -> int:
@@ -78,8 +106,11 @@ class ModelSpec:
     # the GRU scans are the patch family's measured MFU ceiling,
     # docs/PALLAS_NOTES.md round 4), and generation scans an O(1)/bar
     # KV-cache step. gru_hidden doubles as the attention width. Supported
-    # for kinds gru_seq and cond; conv_bar has no temporal core and the
-    # hier conductor stays GRU-only this round (build_model validates).
+    # for kinds gru_seq, cond, and hier (conv_bar has no temporal core).
+    # Under kind="hier" there is no separate conductor GRU: z_phrase
+    # joins the attention input per bar and the causal stack plays both
+    # roles — the 16-bar teacher-forced train step then has NO scan at
+    # all (models/vae.py BarDecoder.setup conductor note).
     temporal: str = "gru"
     attn_layers: int = 2                 # transformer depth (temporal="attn")
     attn_heads: int = 4                  # attention heads
@@ -112,6 +143,15 @@ class TrainSpec:
     learning_rate: float = 1e-3
     adam_b1: float = 0.9
     adam_b2: float = 0.999
+    # Dtype of Adam's FIRST-moment accumulator (optax mu_dtype). The
+    # round-4 trace attribution pins part of the MXU family's non-matmul
+    # remainder on optimizer/elementwise passes over the parameter-sized
+    # buffers; "bfloat16" halves the m-buffer's HBM traffic (and its
+    # checkpoint footprint) at the cost of moment precision — measured
+    # A/B in docs/PALLAS_NOTES.md round 5 (bench/ab_step.py
+    # --adam-mu-dtype). The second moment stays f32 (optax has no nu
+    # dtype knob, and v's dynamic range is the fragile one anyway).
+    adam_mu_dtype: str = "float32"
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0          # 0 disables
     # KL annealing (ops/losses.beta_schedule): "linear" ramps 0 -> beta_max
@@ -310,7 +350,9 @@ C2_MXU = Config(
 # scans are the patch family's measured MFU ceiling (PALLAS_NOTES round
 # 4); with attention the teacher-forced train step has NO scan at all —
 # every op is a batched MXU matmul. Same pipeline/loss/latent/generation
-# surface; measured MFU/quality rows in BASELINE.md.
+# surface. Measured verdict (BASELINE.md round 5): at the 4-bar flagship
+# shape it trails c2_mxu (31% vs 35% MFU — the window is too short for
+# attention to amortize); the family pays at 16+ bars (see c2_trf_16bar).
 C2_TRF = Config(
     name="c2_trf",
     model=ModelSpec(kind="gru_seq", num_bars=4, z_dim=128,
@@ -339,37 +381,111 @@ C3_MXU = Config(
     train=TrainSpec(batch_size=128, free_bits=0.125, transpose_aug=5),
 )
 
+# hier + attn (round 5): c3_mxu with the attention temporal core — no
+# seq GRU, no conductor GRU (z_phrase rides the attention input;
+# ModelSpec.temporal docstring). The 16-bar teacher-forced hierarchical
+# family is exactly where the bar-axis scans dominate (PALLAS_NOTES
+# round-4 pins c3_mxu's ceiling on them); this config is the experiment
+# at that shape. Measured MFU/quality verdict in BASELINE.md round 5.
+C3_TRF = Config(
+    name="c3_trf",
+    model=ModelSpec(kind="hier", num_bars=16, z_dim=64, z_phrase_dim=256,
+                    stem="patch", patch_size=(8, 16),
+                    enc_channels=(256, 256, 512),
+                    dec_channels=(512, 256, 256),
+                    bar_feat_dim=256, gru_hidden=512,
+                    temporal="attn", attn_layers=2, attn_heads=8),
+    train=TrainSpec(batch_size=128, free_bits=0.125, transpose_aug=5),
+)
+
+# The registered long-context A/B pair (round 5, promoted from the
+# round-4 ad-hoc bench configs so users can reproduce the temporal-core
+# comparison by name): the c2_mxu/c2_trf architectures at 16-bar
+# windows, batch 32 — constant 512 bar-images/step. The attention
+# core's premise is that its advantage grows with window length (the
+# GRU scan serializes N bars; attention batches them); these are the
+# shapes where that is tested. Measured rows in BASELINE.md round 5.
+C2_MXU_16BAR = C2_MXU.replace(
+    name="c2_mxu_16bar",
+    model=dataclasses.replace(C2_MXU.model, num_bars=16),
+    train=dataclasses.replace(C2_MXU.train, batch_size=32),
+)
+C2_TRF_16BAR = C2_TRF.replace(
+    name="c2_trf_16bar",
+    model=dataclasses.replace(C2_TRF.model, num_bars=16),
+    train=dataclasses.replace(C2_TRF.train, batch_size=32),
+)
+# ... and the 32-bar point (batch 16, same 512 bar-images/step).
+C2_MXU_32BAR = C2_MXU.replace(
+    name="c2_mxu_32bar",
+    model=dataclasses.replace(C2_MXU.model, num_bars=32),
+    train=dataclasses.replace(C2_MXU.train, batch_size=16),
+)
+C2_TRF_32BAR = C2_TRF.replace(
+    name="c2_trf_32bar",
+    model=dataclasses.replace(C2_TRF.model, num_bars=32),
+    train=dataclasses.replace(C2_TRF.train, batch_size=16),
+)
+
 _CONFIGS = {c.name: c for c in
             (C1_CONV_BAR, C2_GRU_4BAR, C3_HIER_16BAR, C4_COND, C5_GEN_SWEEP,
-             C2_CROPPED, C2_MXU, C2_TRF, C3_MXU)}
+             C2_CROPPED, C2_MXU, C2_TRF, C3_MXU, C3_TRF,
+             C2_MXU_16BAR, C2_TRF_16BAR, C2_MXU_32BAR, C2_TRF_32BAR)}
+
+
+# native grid resolution: 24 steps/quarter = 96 steps/whole-note — the
+# 4/4 default bar, and the resolution bar-adapting meters keep
+_NATIVE_SPQ = 24
 
 
 def meter_grid(numerator: int, denominator: int,
-               steps_per_bar: int = 96) -> Tuple[int, int]:
-    """(steps_per_quarter, quarters_per_bar) that realize the meter
-    ``numerator/denominator`` on a ``steps_per_bar``-step bar — the bar
-    TENSOR shape stays fixed (the models are compiled for it); the grid
-    resolution adapts instead. E.g. 3/4 → (32, 3): a 96-step bar of
-    three 32-step quarters, with exact bar boundaries for a waltz
-    corpus. Raises ValueError for meters that do not divide the bar
-    (e.g. 5/4, 7/8 on 96 steps — quarters_per_bar must be a positive
-    integer dividing steps_per_bar). SEMANTICS.md §1."""
+               steps_per_bar: int = 96) -> dict:
+    """MidiSpec overrides realizing the meter ``numerator/denominator``
+    (keys: steps_per_quarter, quarters_per_bar, bar_steps,
+    meter_numerator, meter_denominator). SEMANTICS.md §1.
+
+    Shape-preserving when possible: a meter spanning a whole number of
+    quarters that divides ``steps_per_bar`` keeps the bar TENSOR at
+    ``steps_per_bar`` steps and adapts the grid RESOLUTION instead —
+    3/4 → three 32-step quarters per 96-step bar (models compiled for
+    [96, 128] serve a waltz corpus unchanged).
+
+    Otherwise the BAR LENGTH adapts at the native 24-step/quarter
+    resolution (round 5): 5/4 → 120-step bars (24 × 5 quarters),
+    7/8 → 84-step bars (bar_steps override; 3.5 quarters is not a whole
+    number, so quarters_per_bar is 0 and exports/validation go through
+    the meter fields). Models then compile for [bar_steps, 128] — the
+    conv/patch heads ceil-pad-crop to any bar length. Raises ValueError
+    only for meters the integer grid cannot represent (denominator not
+    a power of two, or bar length not a whole number of steps)."""
     if numerator <= 0 or denominator <= 0 or \
             denominator & (denominator - 1):
         raise ValueError(f"bad meter {numerator}/{denominator} "
                          "(denominator must be a power of two)")
-    if (4 * numerator) % denominator:
+    if (4 * numerator) % denominator == 0:
+        qpb = 4 * numerator // denominator
+        if steps_per_bar % qpb == 0:
+            # shape-preserving: resolution adapts, bar stays
+            return dict(steps_per_quarter=steps_per_bar // qpb,
+                        quarters_per_bar=qpb, bar_steps=0,
+                        meter_numerator=numerator,
+                        meter_denominator=denominator)
+        # whole quarters that don't divide the default bar (5/4, 7/4):
+        # bar adapts at native resolution — 5/4 → 24 × 5 = 120 steps
+        return dict(steps_per_quarter=_NATIVE_SPQ, quarters_per_bar=qpb,
+                    bar_steps=0, meter_numerator=numerator,
+                    meter_denominator=denominator)
+    # fractional quarters (7/8 = 3.5): bar = 4·spq·num/den grid steps
+    spb4 = 4 * _NATIVE_SPQ * numerator
+    if spb4 % denominator:
         raise ValueError(
-            f"meter {numerator}/{denominator} is {4 * numerator / denominator:g} "
-            f"quarters/bar — not a whole number of quarters; unsupported")
-    qpb = 4 * numerator // denominator
-    if steps_per_bar % qpb:
-        raise ValueError(
-            f"meter {numerator}/{denominator} ({qpb} quarters/bar) does "
-            f"not divide the {steps_per_bar}-step bar; supported meters "
-            f"keep steps_per_bar/quarters integral (3/4, 6/8, 2/4, 2/2, "
-            f"12/8, 4/4, ...)")
-    return steps_per_bar // qpb, qpb
+            f"meter {numerator}/{denominator} is "
+            f"{spb4 / denominator:g} grid steps per bar at "
+            f"{_NATIVE_SPQ} steps/quarter — not a whole number; "
+            f"unsupported")
+    return dict(steps_per_quarter=_NATIVE_SPQ, quarters_per_bar=0,
+                bar_steps=spb4 // denominator,
+                meter_numerator=numerator, meter_denominator=denominator)
 
 
 def get_config(name: str) -> Config:

@@ -59,10 +59,12 @@ class PianoRollDataset:
         int32 window starts into ``bars``; chords/keys: [N] int32 labels;
         piece_ids: [N] int32 source-piece index per window (enables
         leakage-free train/eval splits; zeros for legacy caches);
-        grid: (steps_per_quarter, quarters_per_bar) the corpus was
-        QUANTIZED under (None for legacy caches = the 24/4 default) —
-        training validates it against the config so a --meter 3/4 cache
-        can never silently train under a 4/4-configured model."""
+        grid: (steps_per_quarter, quarters_per_bar[, bar_steps]) the
+        corpus was QUANTIZED under (None for legacy caches = the 24/4
+        default; bar_steps 0 = derived spq*qpb, nonzero for
+        bar-adapting meters like 7/8 → 84) — training validates it
+        against the config so a --meter cache can never silently train
+        under a differently-gridded model."""
         assert bars.ndim == 3 and bars.dtype == np.uint8
         self.bars = bars
         self.starts = np.asarray(starts, np.int32)
@@ -72,7 +74,9 @@ class PianoRollDataset:
         self.piece_ids = (np.zeros(self.starts.shape[0], np.int32)
                           if piece_ids is None
                           else np.asarray(piece_ids, np.int32))
-        self.grid = None if grid is None else (int(grid[0]), int(grid[1]))
+        self.grid = None if grid is None else (
+            (int(grid[0]), int(grid[1]))
+            + ((int(grid[2]),) if len(grid) > 2 and int(grid[2]) else ()))
 
     # -- construction --------------------------------------------------------
 
@@ -123,7 +127,8 @@ class PianoRollDataset:
         return cls(np.concatenate(all_bars, axis=0), np.asarray(starts),
                    num_bars, np.asarray(chords), np.asarray(keys),
                    np.asarray(piece_ids),
-                   grid=(spec.steps_per_quarter, spec.quarters_per_bar))
+                   grid=(spec.steps_per_quarter, spec.quarters_per_bar,
+                         spec.bar_steps))
 
     @classmethod
     def load_npy(cls, path: str) -> "PianoRollDataset":

@@ -213,17 +213,33 @@ def _varlen(value: int) -> bytes:
     return bytes(out)
 
 
+def _timesig_meta(quarters_per_bar: int,
+                  meter: Optional[Tuple[int, int]]) -> bytes:
+    """The 0x58 time-signature meta event. ``meter`` (numerator,
+    denominator) wins when given — a 6/8 model declares 6/8, not the
+    grid-equivalent 3/4; ``quarters_per_bar`` is the legacy qpb/4
+    spelling."""
+    num, den = meter if meter is not None else (quarters_per_bar, 4)
+    if num <= 0 or den <= 0 or den & (den - 1):
+        raise SMFError(f"bad time signature {num}/{den} "
+                       "(denominator must be a power of two)")
+    return _varlen(0) + bytes([0xFF, 0x58, 0x04,
+                               num, den.bit_length() - 1, 24, 8])
+
+
 def write_smf(
     notes: List[Note],
     ticks_per_quarter: int = 480,
     tempo_us_per_quarter: int = 500_000,
     velocity: Optional[int] = None,
     quarters_per_bar: int = 4,
+    meter: Optional[Tuple[int, int]] = None,
 ) -> bytes:
     """Serialize notes to SMF format 0 (SEMANTICS.md §7).
 
-    ``quarters_per_bar`` sets the declared time signature meta as
-    quarters_per_bar/4 (a 3/4-configured model exports 3/4 files)."""
+    ``meter`` (num, den) sets the declared time-signature meta exactly;
+    without it, ``quarters_per_bar`` declares quarters_per_bar/4 (a
+    3/4-configured model exports 3/4 files)."""
     events: List[Tuple[int, int, bytes]] = []  # (tick, order, payload)
     for n in notes:
         vel = velocity if velocity is not None else n.velocity
@@ -244,8 +260,7 @@ def write_smf(
     track = bytearray()
     track += _varlen(0) + bytes([0xFF, 0x51, 0x03])
     track += tempo_us_per_quarter.to_bytes(3, "big")
-    track += _varlen(0) + bytes([0xFF, 0x58, 0x04,
-                                 quarters_per_bar, 2, 24, 8])
+    track += _timesig_meta(quarters_per_bar, meter)
     last_tick = 0
     for tick, _, payload in events:
         track += _varlen(tick - last_tick) + payload
@@ -264,6 +279,7 @@ def write_smf_arrays(
     tempo_us_per_quarter: int = 500_000,
     velocity: int = 100,
     quarters_per_bar: int = 4,
+    meter: Optional[Tuple[int, int]] = None,
 ) -> bytes:
     """Vectorized ``write_smf`` for uniform-velocity note arrays.
 
@@ -329,8 +345,7 @@ def write_smf_arrays(
     track = bytearray()
     track += _varlen(0) + bytes([0xFF, 0x51, 0x03])
     track += tempo_us_per_quarter.to_bytes(3, "big")
-    track += _varlen(0) + bytes([0xFF, 0x58, 0x04,
-                                 quarters_per_bar, 2, 24, 8])
+    track += _timesig_meta(quarters_per_bar, meter)
     track += buf.tobytes()
     track += _varlen(0) + bytes([0xFF, 0x2F, 0x00])  # end of track
 

@@ -58,16 +58,17 @@ def check_time_signatures(timesigs, spec: MidiSpec) -> None:
             f"file declares {len(timesigs)} distinct time signatures; "
             f"pass --ignore-time-signature to force config-meter chunking")
     spq, spb = spec.steps_per_quarter, spec.steps_per_bar
+    cfg_meter = "{}/{}".format(*spec.meter)
     for num, den in timesigs:
         if num <= 0 or den <= 0 or spq * 4 * num != spb * den:
             implied = spq * 4 * num / den if den else float("nan")
             raise smf.SMFError(
                 f"file declares time signature {num}/{den} "
                 f"(~{implied:g} steps/bar) but the config chunks "
-                f"{spec.quarters_per_bar}/4 bars of {spb} steps; fix the "
+                f"{cfg_meter} bars of {spb} steps; fix the "
                 f"corpus or pass --ignore-time-signature "
                 f"(MidiSpec.ignore_time_signature) to force "
-                f"{spec.quarters_per_bar}/4 chunking")
+                f"{cfg_meter} chunking")
 
 
 def notes_to_events(
@@ -317,8 +318,9 @@ def bars_to_midi_bytes(bars: np.ndarray, spec: MidiSpec,
     pitch, start, end = roll_to_note_arrays(np.asarray(bars), spec,
                                             ticks_per_quarter)
     tempo = int(round(60_000_000 / spec.tempo_bpm))
-    # exports declare the CONFIG's meter (quarters_per_bar/4): a 3/4
-    # model writes 3/4 files that round-trip the §1 meter check
+    # exports declare the CONFIG's ORIGINAL meter (MidiSpec.meter): a
+    # 6/8 model writes 6/8 files — not the grid-equivalent 3/4 — that
+    # round-trip the §1 meter check
     return smf.write_smf_arrays(pitch, start, end, ticks_per_quarter,
                                 tempo, velocity=spec.velocity,
-                                quarters_per_bar=spec.quarters_per_bar)
+                                meter=spec.meter)

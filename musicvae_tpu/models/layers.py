@@ -120,6 +120,12 @@ class PatchTrunk(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         pt, pp = self.patch
         dt = _dtype(self.dtype)
+        t = x.shape[1]
+        if t % pt:
+            # bar-adapting meters (7/8 → 84 steps): zero-pad the time
+            # axis to a whole number of patches — empty steps at the bar
+            # end, semantically silence (config.meter_grid round 5)
+            x = jnp.pad(x, ((0, 0), (0, pt - t % pt), (0, 0), (0, 0)))
         h = space_to_depth(x[..., 0], pt, pp).astype(dt)
         for i, ch in enumerate(self.channels):
             h = nn.Conv(ch, (3, 3),
@@ -148,13 +154,12 @@ class PatchHead(nn.Module):
         pt, pp = self.patch
         dt = _dtype(self.dtype)
         n_up = len(self.channels) - 1
-        t0 = self.steps_per_bar // pt // (2 ** n_up)
-        p0 = self.num_pitches // pp // (2 ** n_up)
-        if t0 * pt * 2 ** n_up != self.steps_per_bar or \
-                p0 * pp * 2 ** n_up != self.num_pitches:
-            raise ValueError(
-                f"patch {self.patch} with {n_up} upsamples does not tile "
-                f"[{self.steps_per_bar}, {self.num_pitches}]")
+        # ceil-pad-crop (round 5, bar-adapting meters): emit the smallest
+        # tiling grid covering [steps_per_bar, num_pitches] and slice the
+        # surplus off after depth-to-space — a no-op for shapes that tile
+        # exactly (96/120 steps), so pre-round-5 numerics are unchanged
+        t0 = -(-self.steps_per_bar // (pt * 2 ** n_up))
+        p0 = -(-self.num_pitches // (pp * 2 ** n_up))
         h = nn.Dense(t0 * p0 * self.channels[0], dtype=dt,
                      param_dtype=jnp.float32)(v.astype(dt))
         h = nn.gelu(h)
@@ -167,7 +172,9 @@ class PatchHead(nn.Module):
         h = nn.Conv(pt * pp, (3, 3), strides=(1, 1),
                     padding=((1, 1), (1, 1)),
                     dtype=dt, param_dtype=jnp.float32)(h)
-        return depth_to_space(h, pt, pp).astype(_dtype(self.logits_dtype))
+        out = depth_to_space(h, pt, pp)
+        return out[:, :self.steps_per_bar, :self.num_pitches].astype(
+            _dtype(self.logits_dtype))
 
 
 class BarFeat(nn.Module):
@@ -223,8 +230,10 @@ class BarDecoderHead(nn.Module):
     def __call__(self, v: jax.Array) -> jax.Array:
         dt = _dtype(self.dtype)
         n_up = len(self.channels)
-        t0 = self.steps_per_bar // (2 ** n_up)
-        p0 = self.num_pitches // (2 ** n_up)
+        # ceil-pad-crop for bar-adapting meters (see PatchHead): exact
+        # tilings (96 steps / 5 ups) keep pre-round-5 numerics bit-for-bit
+        t0 = -(-self.steps_per_bar // (2 ** n_up))
+        p0 = -(-self.num_pitches // (2 ** n_up))
         h = nn.Dense(t0 * p0 * self.channels[0], dtype=dt,
                      param_dtype=jnp.float32)(v.astype(dt))
         h = nn.gelu(h)
@@ -244,7 +253,8 @@ class BarDecoderHead(nn.Module):
         # logits_dtype="bfloat16" halves the HBM footprint of the step's
         # largest activation; every consumer (BCE loss, binarize) upcasts
         # to f32 inside its own fusion
-        return h[..., 0].astype(_dtype(self.logits_dtype))
+        return h[:, :self.steps_per_bar, :self.num_pitches, 0].astype(
+            _dtype(self.logits_dtype))
 
 
 class AttnStack(nn.Module):
@@ -343,11 +353,6 @@ class AttnStack(nn.Module):
             h = h + self.mlp_dn[l](nn.gelu(self.mlp_up[l](self.ln2[l](h))))
         return self.ln_f(h)
 
-    def init_cache(self, batch: int, length: int):
-        """Zeroed per-layer (K, V) cache for a ``length``-bar sweep."""
-        z = jnp.zeros((batch, length, self.hidden), self._dt)
-        return tuple((z, z) for _ in range(self.num_layers))
-
     def step(self, cache, u: jax.Array, pos: jax.Array, start: jax.Array):
         """One closed-loop bar: u [B,D], pos scalar int32, start [B] int32
         (first position of the current segment). Returns (new_cache,
@@ -375,6 +380,16 @@ class AttnStack(nn.Module):
             h = h + self.mlp_dn[l](nn.gelu(self.mlp_up[l](self.ln2[l](h))))
             new_cache.append((kc, vc))
         return tuple(new_cache), self.ln_f(h)
+
+
+def attn_cache(batch: int, length: int, num_layers: int, hidden: int,
+               dtype: Dtype):
+    """Zeroed per-layer (K, V) cache for a ``length``-bar AttnStack.step
+    sweep — the ONE construction site for the KV-cache pytree (used by
+    PianoRollVAE.generate and the attention tests; the scan-lifted decoder
+    makes a bound method awkward, hence module-level)."""
+    z = jnp.zeros((batch, length, hidden), dtype)
+    return tuple((z, z) for _ in range(num_layers))
 
 
 class ScanGRU(nn.Module):

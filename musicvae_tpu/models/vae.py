@@ -68,7 +68,15 @@ class BarDecoder(nn.Module):
                 self.seq_gru = nn.GRUCell(features=spec.gru_hidden,
                                           dtype=dt,
                                           param_dtype=jnp.float32)
-        if spec.kind == "hier":
+        if spec.kind == "hier" and spec.temporal != "attn":
+            # the GRU conductor (MusicVAE lineage): z_phrase → per-bar
+            # codes via a scanned recurrence. With temporal="attn" there
+            # is NO separate conductor — z_phrase joins the attention
+            # input per bar and the causal stack plays both roles
+            # (position-dependent conductor codes AND the bar-axis
+            # temporal core), removing the LAST scan from the 16-bar
+            # teacher-forced train step (PALLAS_NOTES round-4 ceiling
+            # attribution pins c3_mxu's MFU on these scans).
             self.cond_init = nn.Dense(spec.gru_hidden, dtype=dt,
                                       param_dtype=jnp.float32)
             self.conductor = nn.GRUCell(features=spec.gru_hidden, dtype=dt,
@@ -144,6 +152,10 @@ class BarDecoder(nn.Module):
                 gru_parts.append(feats)
             if spec.kind == "cond" and cond_vec is not None:
                 gru_parts.append(cond_vec.astype(self._dt))
+            if spec.kind == "hier" and spec.temporal == "attn":
+                # hier+attn: z_phrase rides the attention input — the
+                # stack IS the conductor (setup's conductor note)
+                gru_parts.append(z_phrase_bars.astype(self._dt))
             seq_in = jnp.concatenate(gru_parts, -1)
             if spec.temporal == "attn":
                 # the non-recurrent core: every bar at once through
@@ -248,6 +260,9 @@ class BarDecoder(nn.Module):
             cond = xs["cond"]
             if spec.kind == "cond":
                 parts.append(cond.astype(self._dt))
+        if spec.kind == "hier":
+            # z_phrase joins the attention input (teacher() hier+attn)
+            parts.append(xs["z_phrase"].astype(self._dt))
         start = jnp.where(xs["reset"] > 0, pos, start)
         cache, out = self.seq_attn.step(
             cache, jnp.concatenate(parts, -1), pos, start)
@@ -268,13 +283,10 @@ class PianoRollVAE(nn.Module):
         if spec.temporal not in ("gru", "attn"):
             raise ValueError(f"unknown ModelSpec.temporal "
                              f"{spec.temporal!r}; expected 'gru' or 'attn'")
-        if spec.temporal == "attn" and spec.kind not in ("gru_seq", "cond"):
+        if spec.temporal == "attn" and spec.kind == "conv_bar":
             raise ValueError(
-                f"temporal='attn' supports kinds 'gru_seq' and 'cond'; "
-                f"kind={spec.kind!r} "
-                + ("has no temporal core" if spec.kind == "conv_bar" else
-                   "keeps the GRU conductor (hier+attn not built — "
-                   "ModelSpec.temporal docstring)"))
+                "temporal='attn' needs a bar-sequence model; "
+                "kind='conv_bar' has no temporal core")
         if spec.temporal == "attn" and spec.num_bars > spec.attn_max_bars:
             raise ValueError(
                 f"num_bars={spec.num_bars} exceeds attn_max_bars="
@@ -478,8 +490,8 @@ class PianoRollVAE(nn.Module):
                     f"{n}-bar sweep exceeds attn_max_bars="
                     f"{spec.attn_max_bars} (the learned position table); "
                     "raise ModelSpec.attn_max_bars or shorten the sweep")
-            kv = jnp.zeros((b, n, spec.gru_hidden), dt)
-            cache = tuple((kv, kv) for _ in range(spec.attn_layers))
+            cache = layers.attn_cache(b, n, spec.attn_layers,
+                                      spec.gru_hidden, dt)
             carry = (cache, jnp.zeros((), jnp.int32),
                      jnp.zeros((b,), jnp.int32), prev)
             _, (logits, bars) = self.decoder.attn_step(carry, xs)

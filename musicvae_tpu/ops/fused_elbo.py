@@ -15,14 +15,19 @@ grads ≤ 1e-6 abs — SURVEY §7.3 bar #3).
 On non-TPU backends the kernels run in Pallas interpreter mode (slow but
 exact), so the CPU test suite exercises the same code path.
 
-Performance note (measured on v5e, batch 64×4 bars): the Pallas FORWARD
-beats XLA's fused jnp reduction (≈390µs vs 564µs at the 1024-row tile), but
-inside a differentiated training graph the custom VJP is a fusion barrier —
-XLA otherwise fuses the BCE gradient (sigmoid(l)−x) directly into the
-decoder head's backward pass without materializing it, which wins end to
-end (3.09ms vs 3.26ms full step). Hence TrainSpec.use_pallas_loss defaults
-to False and the kernel serves grad-free paths (eval metrics, standalone
-scoring), where it is strictly faster.
+Performance history (measured on v5e, batch 64×4 bars): the round-1
+single-output kernel's forward beat XLA's fused jnp reduction (≈390µs vs
+564µs at the 1024-row tile), but inside a differentiated training graph its
+custom VJP was a fusion barrier — XLA otherwise fuses the BCE gradient
+(sigmoid(l)−x) directly into the decoder head's backward pass, which won end
+to end (3.09ms vs 3.26ms full step), so rounds 1–3 defaulted the kernel off
+in training. The round-4 DUAL-OUTPUT forward (``masked_bce_sum_pallas_dual``
+below) removed the barrier: it emits the BCE sum AND the per-cell gradient
+tile in the same logits pass, so the VJP is one fused scale instead of a
+second read of the largest activation — measured +8–14% full-step steps/s on every
+bf16 config (docs/PALLAS_NOTES.md round-4 table). Hence
+``TrainSpec.use_pallas_loss`` now defaults to **True**; the grad-free
+single-output kernel still serves eval metrics and standalone scoring.
 """
 
 from __future__ import annotations

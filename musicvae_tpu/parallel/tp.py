@@ -9,11 +9,13 @@ collectives over ICI.
 
 Default rules cover the full weight surface: the deconv head dense +
 conv/deconv channel dims, the bar-feature denses, every GRU cell's gate
-kernels/biases (seq/encoder/conductor), and the latent heads — all
-sharded on their output/hidden dim over 'model'. Embeddings and any leaf
-whose sharded dim does not divide the mesh axis stay replicated (the
-validation in param_shardings). Correctness (TP+DP run ≡ replicated run)
-is asserted in tests/test_parallel.py on the fake 8-device mesh.
+kernels/biases (seq/encoder/conductor), the attention stack's denses
+(temporal="attn": inp/qkv/wo/mlp projections), and the latent heads — all
+sharded on their output/hidden dim over 'model'. Embeddings, LayerNorm
+params, the attn pos_emb table, and any leaf whose sharded dim does not
+divide the mesh axis stay replicated (the validation in param_shardings).
+Correctness (TP+DP run ≡ replicated run) is asserted in
+tests/test_parallel.py on the fake 8-device mesh.
 """
 
 from __future__ import annotations
@@ -56,6 +58,16 @@ DEFAULT_TP_RULES: List[Tuple[str, P]] = [
      P(None, MODEL_AXIS)),
     (r"(seq_gru|conductor|enc_gru/GRUCell_\d+)/(ir|iz|in|hr|hz|hn)/bias$",
      P(MODEL_AXIS)),
+    # attention temporal core (ModelSpec.temporal="attn"): every Dense in
+    # the stack sharded on its output dim — qkv [H, 3H], wo [H, H],
+    # mlp_up [H, 4H], mlp_dn [4H, H], and the input projection. GSPMD
+    # reshards around the head-split einsums; equivalence vs replicated is
+    # asserted in tests/test_parallel.py. LayerNorm scales/biases and the
+    # pos_emb table stay replicated by design (tiny, elementwise).
+    (r"(seq_attn|enc_attn)/(inp|qkv_\d+|wo_\d+|mlp_up_\d+|mlp_dn_\d+)"
+     r"/kernel$", P(None, MODEL_AXIS)),
+    (r"(seq_attn|enc_attn)/(inp|qkv_\d+|wo_\d+|mlp_up_\d+|mlp_dn_\d+)"
+     r"/bias$", P(MODEL_AXIS)),
     # GRU/conductor init projections and the latent heads
     (r"(h_init|cond_init)/kernel$", P(None, MODEL_AXIS)),
     (r"(h_init|cond_init)/bias$", P(MODEL_AXIS)),

@@ -68,11 +68,14 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     chain = []
     if t.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(t.grad_clip_norm))
+    mu_dtype = jnp.dtype(t.adam_mu_dtype)   # TrainSpec.adam_mu_dtype
     if t.weight_decay > 0:
         chain.append(optax.adamw(lr, b1=t.adam_b1, b2=t.adam_b2,
-                                 weight_decay=t.weight_decay))
+                                 weight_decay=t.weight_decay,
+                                 mu_dtype=mu_dtype))
     else:
-        chain.append(optax.adam(lr, b1=t.adam_b1, b2=t.adam_b2))
+        chain.append(optax.adam(lr, b1=t.adam_b1, b2=t.adam_b2,
+                                mu_dtype=mu_dtype))
     return optax.chain(*chain)
 
 

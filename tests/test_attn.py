@@ -14,7 +14,7 @@ import pytest
 
 from musicvae_tpu.config import get_config
 from musicvae_tpu.models import init_params
-from musicvae_tpu.models.layers import AttnStack
+from musicvae_tpu.models.layers import AttnStack, attn_cache
 
 from conftest import cpu_friendly
 
@@ -50,8 +50,7 @@ def test_attn_stack_step_matches_parallel():
     out_par = stack.apply({"params": params}, u)                # [B,N,H]
 
     def scan_steps(params):
-        cache = tuple((jnp.zeros((b, n, h)), jnp.zeros((b, n, h)))
-                      for _ in range(2))
+        cache = attn_cache(b, n, 2, h, jnp.float32)
         start = jnp.zeros((b,), jnp.int32)
         outs = []
         for i in range(n):
@@ -78,8 +77,7 @@ def test_attn_stack_segment_isolation():
     params = stack.init(jax.random.key(1), u)["params"]
 
     def run(u_seq, start_fn, cache_len):
-        cache = tuple((jnp.zeros((b, cache_len, h)),
-                       jnp.zeros((b, cache_len, h))) for _ in range(2))
+        cache = attn_cache(b, cache_len, 2, h, jnp.float32)
         outs = []
         for i in range(u_seq.shape[1]):
             cache, o = stack.apply({"params": params}, cache, u_seq[:, i],
@@ -220,6 +218,126 @@ def test_attn_train_steps_reduce_loss():
     assert losses[-1] < losses[0]
 
 
+# --- hier + attn: the conductor-free hierarchical family ---------------------
+
+def _tiny_hier_trf_cfg(**model_kw):
+    """c3_trf shrunk for the CPU backend (same topology, tiny widths,
+    4-bar windows)."""
+    cfg = get_config("c3_trf")
+    return cpu_friendly(cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, enc_channels=(8, 8, 16), dec_channels=(16, 8, 8),
+            z_dim=8, z_phrase_dim=16, gru_hidden=16, bar_feat_dim=16,
+            attn_heads=4, num_bars=4, **model_kw)))
+
+
+def test_hier_attn_forward_and_generate():
+    """c3_trf (hier + attn): two latent levels, NO conductor GRU — the
+    param tree must have no conductor/cond_init, and generation threads
+    z_phrase through the attention input."""
+    cfg = _tiny_hier_trf_cfg()
+    model, params = init_params(cfg, jax.random.key(0))
+    dec = params["decoder"]
+    assert "conductor" not in dec and "cond_init" not in dec, \
+        "hier+attn must not build the GRU conductor (the stack IS the " \
+        "conductor — ModelSpec.temporal docstring)"
+    assert "seq_attn" in dec
+    x = _bars(cfg)
+    logits, latents = model.apply({"params": params}, x,
+                                  rngs={"latent": jax.random.key(2)})
+    assert logits.shape == x.shape
+    assert len(latents) == 2                       # phrase + bar levels
+
+    z = jax.random.normal(jax.random.key(4), (2, 3, cfg.model.z_dim))
+    zp = jax.random.normal(jax.random.key(5), (2, cfg.model.z_phrase_dim))
+    reset = jnp.zeros((2, 3)).at[:, 0].set(1.0)
+    _, bars = model.apply({"params": params}, z, reset, z_phrase=zp,
+                          method=model.generate)
+    assert bars.shape == (2, 3, 96, 128) and bars.dtype == jnp.uint8
+
+
+def test_hier_attn_closed_loop_matches_teacher():
+    """The hier+attn closed-loop sweep and the teacher decode of the
+    generated bars (same z path, same z_phrase) must produce identical
+    logits — the shared-weight contract extended to the conductor-free
+    hierarchy."""
+    cfg = _tiny_hier_trf_cfg()
+    model, params = init_params(cfg, jax.random.key(0))
+    b, n = 2, cfg.model.num_bars
+    z = jax.random.normal(jax.random.key(3), (b, n, cfg.model.z_dim))
+    zp = jax.random.normal(jax.random.key(6), (b, cfg.model.z_phrase_dim))
+    reset = jnp.zeros((b, n)).at[:, 0].set(1.0)
+    gen_logits, bars = model.apply({"params": params}, z, reset,
+                                   z_phrase=zp, method=model.generate)
+
+    def teacher(m, z_bars, x, zp_bars):
+        return m.decoder.teacher(z_bars, x, None, zp_bars)
+
+    zp_bars = jnp.broadcast_to(zp[:, None, :], (b, n, zp.shape[-1]))
+    t_logits = model.apply({"params": params}, z,
+                           bars.astype(jnp.float32), zp_bars,
+                           method=teacher)
+    np.testing.assert_allclose(np.asarray(gen_logits),
+                               np.asarray(t_logits), rtol=1e-4, atol=1e-4)
+
+
+def test_hier_attn_seam_equivalence():
+    """Interior phrase reset ≡ two chained sweeps for hier+attn: the
+    segment-relative positions isolate the attention state while
+    prev-bar chains (same contract as the GRU conductor's h0 re-init)."""
+    cfg = _tiny_hier_trf_cfg()
+    model, params = init_params(cfg, jax.random.key(0))
+    b, k = 2, 3
+    z = jax.random.normal(jax.random.key(5), (b, 2 * k, cfg.model.z_dim))
+    zp = jax.random.normal(jax.random.key(8), (b, cfg.model.z_phrase_dim))
+    reset = jnp.zeros((b, 2 * k)).at[:, 0].set(1.0).at[:, k].set(1.0)
+    _, bars_joint = model.apply({"params": params}, z, reset, z_phrase=zp,
+                                method=model.generate)
+
+    r1 = jnp.zeros((b, k)).at[:, 0].set(1.0)
+    _, bars_a = model.apply({"params": params}, z[:, :k], r1, z_phrase=zp,
+                            method=model.generate)
+    _, bars_b = model.apply({"params": params}, z[:, k:], r1, z_phrase=zp,
+                            seed_bar=bars_a[:, -1], method=model.generate)
+    np.testing.assert_array_equal(np.asarray(bars_joint[:, :k]),
+                                  np.asarray(bars_a))
+    np.testing.assert_array_equal(np.asarray(bars_joint[:, k:]),
+                                  np.asarray(bars_b))
+
+
+def test_hier_attn_per_bar_z_phrase_path():
+    """The two-piece identity-morph path (per-bar z_phrase, sampler
+    _sweep_body z_phrase1) threads through the attention step."""
+    cfg = _tiny_hier_trf_cfg()
+    model, params = init_params(cfg, jax.random.key(0))
+    b, n = 2, 4
+    z = jax.random.normal(jax.random.key(4), (b, n, cfg.model.z_dim))
+    zp_path = jax.random.normal(jax.random.key(9),
+                                (b, n, cfg.model.z_phrase_dim))
+    reset = jnp.zeros((b, n)).at[:, 0].set(1.0)
+    _, bars = model.apply({"params": params}, z, reset, z_phrase=zp_path,
+                          method=model.generate)
+    assert bars.shape == (b, n, 96, 128)
+
+
+def test_hier_attn_train_steps_reduce_loss():
+    """A few production train steps on the conductor-free hierarchy move
+    the loss — both latent levels get gradients."""
+    from musicvae_tpu.train import create_state, make_train_step
+
+    cfg = _tiny_hier_trf_cfg()
+    model, state = create_state(cfg)
+    step = make_train_step(cfg, model, use_pallas=False)
+    rng = np.random.default_rng(0)
+    batch = {"x": (rng.random((4, cfg.model.num_bars, 96, 128)) < 0.05
+                   ).astype(np.float32)}
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+
 # --- gating / validation ------------------------------------------------------
 
 def test_attn_torch_convert_rejected():
@@ -241,10 +359,9 @@ def test_attn_torch_convert_rejected():
 
 
 def test_attn_unsupported_kinds_rejected():
-    for kind, extra in (("hier", {}), ("conv_bar", {"use_prev_bar": False})):
-        cfg = _tiny_trf_cfg(kind=kind, **extra)
-        with pytest.raises(ValueError, match="temporal='attn'"):
-            init_params(cfg, jax.random.key(0))
+    cfg = _tiny_trf_cfg(kind="conv_bar", use_prev_bar=False)
+    with pytest.raises(ValueError, match="temporal='attn'"):
+        init_params(cfg, jax.random.key(0))
 
 
 def test_attn_sweep_beyond_position_table_rejected():

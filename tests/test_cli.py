@@ -141,11 +141,11 @@ def _tiny_ckpt(tmp_path, base_name, **model_kw):
     from musicvae_tpu.train import create_state
 
     cfg = get_config(base_name)
+    kw = dict(enc_channels=(4, 8, 8, 8, 8), dec_channels=(8, 8, 8, 8, 8),
+              z_dim=16, gru_hidden=32, bar_feat_dim=32, dtype="float32")
+    kw.update(model_kw)                 # explicit overrides win
     cfg = cfg.replace(
-        model=dataclasses.replace(
-            cfg.model, enc_channels=(4, 8, 8, 8, 8),
-            dec_channels=(8, 8, 8, 8, 8), z_dim=16, gru_hidden=32,
-            bar_feat_dim=32, dtype="float32", **model_kw),
+        model=dataclasses.replace(cfg.model, **kw),
         train=dataclasses.replace(cfg.train, batch_size=4))
     _, state = create_state(cfg)
     state = state.replace(step=state.step + 1)
@@ -631,6 +631,60 @@ def test_serve_stdin_coalesce_matches_serial(tmp_path, capsys, monkeypatch):
     monkeypatch.setattr("sys.stdin", io.StringIO(""))
     assert main(["serve", "--config", "c1_conv_bar", "--ckpt-dir", ckpt,
                  "--coalesce", "2", "--pipeline"]) == 2
+
+
+def test_serve_attn_family_coalesce_matches_serial(tmp_path, capsys,
+                                                   monkeypatch):
+    """serve against ATTENTION-family checkpoints (VERDICT r4 #9: the
+    serving stack must provably cover all three temporal families). The
+    KV-cache generation step (models/layers.py AttnStack.step) answers
+    the same JSON protocol; coalesced dispatch stays byte-identical to
+    per-request dispatch; seed-MIDI conditioning threads through the
+    attention sweep; and the conductor-free hierarchy (c3_trf) serves
+    its two-level latent path."""
+    import base64
+    import io
+    import json
+
+    trf_kw = dict(enc_channels=(8, 8, 16), dec_channels=(16, 8, 8),
+                  z_dim=8, gru_hidden=16, bar_feat_dim=16, attn_heads=4)
+    ckpt = _tiny_ckpt(tmp_path, "c2_trf", **trf_kw)
+    seed_b64 = base64.b64encode(
+        open(_write_seed_midi(tmp_path), "rb").read()).decode()
+    requests = "\n".join([
+        json.dumps({"id": 1, "seed": 7}),
+        json.dumps({"id": 2, "seed": 8}),
+        json.dumps({"id": 3, "seed": 7}),       # same seed as id 1
+        json.dumps({"id": 4, "seed": 9, "seed_midi_b64": seed_b64}),
+    ]) + "\n"
+
+    outs = {}
+    for w in ("1", "3"):
+        capsys.readouterr()
+        monkeypatch.setattr("sys.stdin", io.StringIO(requests))
+        assert main(["serve", "--config", "c2_trf",
+                     "--ckpt-dir", ckpt, "--bars", "3", "--samples", "2",
+                     "--coalesce", w]) == 0
+        outs[w] = [json.loads(l) for l in
+                   capsys.readouterr().out.strip().splitlines()]
+    for lines in outs.values():
+        assert [l.get("id") for l in lines] == [1, 2, 3, 4]
+        assert lines[0]["midi_b64"] == lines[2]["midi_b64"]  # same seed
+        assert base64.b64decode(lines[0]["midi_b64"][0])[:4] == b"MThd"
+    for a, b in zip(outs["1"], outs["3"]):
+        assert a.get("midi_b64") == b.get("midi_b64")  # batching-invariant
+
+    # the conductor-free hierarchy serves too (z_phrase rides the
+    # attention input through the same KV-cache step)
+    ckpt3 = _tiny_ckpt(tmp_path / "h", "c3_trf",
+                       z_phrase_dim=16, num_bars=4, **trf_kw)
+    capsys.readouterr()
+    monkeypatch.setattr("sys.stdin", io.StringIO(
+        json.dumps({"id": 1, "seed": 3}) + "\n"))
+    assert main(["serve", "--config", "c3_trf", "--ckpt-dir", ckpt3,
+                 "--bars", "4", "--samples", "1"]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert base64.b64decode(line["midi_b64"][0])[:4] == b"MThd"
 
 
 def test_serve_socket_coalesce(tmp_path):
@@ -1460,13 +1514,31 @@ def test_cli_meter_flag(tmp_path, capsys):
     with np.load(out) as z:
         assert z["bars"].shape == (12, 96, 128)  # 12 exact 3/4 bars
 
+    # 5/4 is a SUPPORTED meter since round 5 (the bar adapts to 120
+    # steps) — but this corpus declares 3/4, so ingestion still fails
+    # the time-signature validation, not the meter parser
     rc = main(["preprocess", "--config", "c1_conv_bar",
                "--midi-glob", str(path), "--out", out, "--meter", "5/4"])
     err = capsys.readouterr().err
-    assert rc == 2 and "5/4" in err
+    assert rc == 2 and "time signature" in err
+    # ... and a real 5/4 corpus ingests with exact 120-step bars
+    notes54 = [smf_mod.Note(48 + (i % 24), i * 480, i * 480 + 240, 100)
+               for i in range(30)]                # 6 bars of 5/4
+    path54 = tmp_path / "odd54.mid"
+    path54.write_bytes(smf_mod.write_smf(notes54, 480, 500_000,
+                                         meter=(5, 4)))
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--midi-glob", str(path54), "--out", out,
+                 "--meter", "5/4"]) == 0
+    with np.load(out) as z:
+        assert z["bars"].shape == (6, 120, 128)   # 6 exact 5/4 bars
     rc = main(["preprocess", "--config", "c1_conv_bar",
                "--midi-glob", str(path), "--out", out, "--meter", "waltz"])
     assert rc == 2 and "N/D" in capsys.readouterr().err
+    # a truly unrepresentable meter still errors cleanly
+    rc = main(["preprocess", "--config", "c1_conv_bar",
+               "--midi-glob", str(path), "--out", out, "--meter", "1/64"])
+    assert rc == 2 and "not a whole number" in capsys.readouterr().err
 
 
 def test_meter_survives_cache_and_resume(tmp_path, capsys):
@@ -1519,3 +1591,66 @@ def test_meter_survives_cache_and_resume(tmp_path, capsys):
                  "--log-dir", str(tmp_path / "l4")]) == 0
     err = capsys.readouterr().err
     assert "resumed from step" in err and "tensorized 1 MIDI" in err
+
+
+def test_meter_54_train_generate_describe_e2e(tmp_path, capsys):
+    """Round-5 bar-adapting meters end to end: `train --meter 5/4`
+    trains a 120-step-bar model on a synthetic 5/4 corpus, `describe`
+    reports 5/4 and the 120-step roll, and generated exports declare
+    5/4 (VERDICT r4 missing #4 done-criterion)."""
+    from musicvae_tpu.midi import smf as smf_mod
+
+    data = str(tmp_path / "d54.npz")
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--synthetic-pieces", "3", "--meter", "5/4",
+                 "--out", data]) == 0
+    with np.load(data) as z:
+        assert z["bars"].shape[1:] == (120, 128)
+    ck = str(tmp_path / "ck54")
+    assert main(["train", "--config", "c1_conv_bar", "--data", data,
+                 "--steps", "2", "--meter", "5/4", "--ckpt-dir", ck,
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    capsys.readouterr()
+    assert main(["describe", "--ckpt-dir", ck]) == 0
+    out = capsys.readouterr().out
+    assert '"5/4"' in out and '"120x128"' in out
+
+    gen_dir = str(tmp_path / "g54")
+    assert main(["generate", "--config", "c1_conv_bar", "--ckpt-dir", ck,
+                 "--bars", "2", "--samples", "1", "--write-midis", "1",
+                 "--out-dir", gen_dir]) == 0
+    rolls = np.load(gen_dir + "/rolls.npy")
+    assert rolls.shape == (1, 2, 120, 128)
+    import glob as _glob
+    mids = sorted(_glob.glob(gen_dir + "/*.mid"))
+    assert mids
+    with open(mids[0], "rb") as f:
+        assert smf_mod.parse_smf(f.read()).time_signatures == ((5, 4),)
+
+
+def test_meter_68_describe_and_export_true_meter(tmp_path, capsys):
+    """A --meter 6/8 run reports and exports 6/8 — not the
+    grid-equivalent 3/4 (the round-4 reduced-qpb lie)."""
+    from musicvae_tpu.midi import smf as smf_mod
+
+    data = str(tmp_path / "d68.npz")
+    assert main(["preprocess", "--config", "c1_conv_bar",
+                 "--synthetic-pieces", "3", "--meter", "6/8",
+                 "--out", data]) == 0
+    ck = str(tmp_path / "ck68")
+    assert main(["train", "--config", "c1_conv_bar", "--data", data,
+                 "--steps", "2", "--meter", "6/8", "--ckpt-dir", ck,
+                 "--log-dir", str(tmp_path / "l")]) == 0
+    capsys.readouterr()
+    assert main(["describe", "--ckpt-dir", ck]) == 0
+    out = capsys.readouterr().out
+    assert '"6/8"' in out and '"3/4"' not in out
+
+    gen_dir = str(tmp_path / "g68")
+    assert main(["generate", "--config", "c1_conv_bar", "--ckpt-dir", ck,
+                 "--bars", "2", "--samples", "1", "--write-midis", "1",
+                 "--out-dir", gen_dir]) == 0
+    import glob as _glob
+    mids = sorted(_glob.glob(gen_dir + "/*.mid"))
+    with open(mids[0], "rb") as f:
+        assert smf_mod.parse_smf(f.read()).time_signatures == ((6, 8),)

@@ -322,18 +322,38 @@ def test_max_events_spec_default_and_message():
     assert tensorize.corpus_to_bars([data], big)[0].shape[0] >= 1
 
 
-# --- meter support (config.meter_grid: the grid adapts, the bar doesn't) ----
+# --- meter support (config.meter_grid: resolution adapts when the bar fits,
+# --- the bar adapts otherwise — SEMANTICS.md §1) -----------------------------
+
+import dataclasses
+
 
 def test_meter_grid_mappings():
-    from musicvae_tpu.config import meter_grid
+    from musicvae_tpu.config import MidiSpec, meter_grid
 
-    assert meter_grid(3, 4) == (32, 3)
-    assert meter_grid(6, 8) == (32, 3)
-    assert meter_grid(2, 4) == (48, 2)
-    assert meter_grid(2, 2) == (24, 4)
-    assert meter_grid(12, 8) == (16, 6)
-    assert meter_grid(4, 4) == (24, 4)
-    for num, den in [(5, 4), (7, 8), (9, 8), (3, 8), (0, 4), (4, 3)]:
+    def spec(num, den):
+        return dataclasses.replace(MidiSpec(), **meter_grid(num, den))
+
+    # shape-preserving: grid resolution adapts, bar stays 96 steps
+    for (num, den), (spq, qpb) in [((3, 4), (32, 3)), ((6, 8), (32, 3)),
+                                   ((2, 4), (48, 2)), ((2, 2), (24, 4)),
+                                   ((12, 8), (16, 6)), ((4, 4), (24, 4))]:
+        s = spec(num, den)
+        assert (s.steps_per_quarter, s.quarters_per_bar) == (spq, qpb)
+        assert s.steps_per_bar == 96
+        assert s.meter == (num, den)       # ORIGINAL meter kept (6/8 ≠ 3/4)
+
+    # bar-adapting (round 5): native 24/quarter resolution, bar length moves
+    for (num, den), spb in [((5, 4), 120), ((7, 4), 168), ((7, 8), 84),
+                            ((9, 8), 108), ((3, 8), 36), ((5, 8), 60)]:
+        s = spec(num, den)
+        assert s.steps_per_quarter == 24
+        assert s.steps_per_bar == spb
+        assert s.meter == (num, den)
+
+    # unrepresentable: zero/negative, non-power-of-two denominator, or a
+    # fractional number of grid steps per bar
+    for num, den in [(0, 4), (4, 3), (-3, 4), (1, 64)]:
         with pytest.raises(ValueError):
             meter_grid(num, den)
 
@@ -367,4 +387,80 @@ def test_meter_34_exact_bar_boundaries_and_roundtrip():
     out = tensorize.bars_to_midi_bytes(bars, spec34)
     assert smf.parse_smf(out).time_signatures == ((3, 4),)
     back = np.asarray(tensorize.midi_bytes_to_bars(out, spec34))
+    np.testing.assert_array_equal(back, bars)
+
+
+def test_meter_68_true_roundtrip():
+    """A 6/8 config shares the 3/4 grid (32 steps/quarter × 96-step bar)
+    but must DECLARE 6/8 — in validation messages, describe, and exports
+    (VERDICT r4 missing #4: the reduced-qpb export lied about 6/8)."""
+    from musicvae_tpu.config import meter_grid
+
+    spec68 = dataclasses.replace(SPEC, **meter_grid(6, 8))
+    assert spec68.steps_per_bar == 96
+    assert spec68.meter == (6, 8)
+    # a 6/8 file (two bars of six eighths each at tpq=480)
+    notes = [smf.Note(60 + i, i * 240, i * 240 + 120, 100)
+             for i in range(12)]
+    data = smf.write_smf(notes, 480, 500_000, meter=(6, 8))
+    assert smf.parse_smf(data).time_signatures == ((6, 8),)
+    bars = np.asarray(tensorize.midi_bytes_to_bars(data, spec68))
+    assert bars.shape == (2, 96, 128)
+    # export declares 6/8 back — NOT the grid-equivalent 3/4
+    out = tensorize.bars_to_midi_bytes(bars, spec68)
+    assert smf.parse_smf(out).time_signatures == ((6, 8),)
+    back = np.asarray(tensorize.midi_bytes_to_bars(out, spec68))
+    np.testing.assert_array_equal(back, bars)
+
+
+def test_meter_54_bar_adapts_to_120_steps():
+    """5/4 (round 5): the bar TENSOR adapts to 120 steps at the native
+    24-step/quarter resolution; bar boundaries are exact and exports
+    declare 5/4."""
+    from musicvae_tpu.config import meter_grid
+
+    spec54 = dataclasses.replace(SPEC, **meter_grid(5, 4))
+    assert spec54.steps_per_bar == 120
+    assert (spec54.steps_per_quarter, spec54.quarters_per_bar) == (24, 5)
+    # ten quarter notes at tpq=480: exactly two 5/4 bars
+    notes = [smf.Note(60 + i, i * 480, i * 480 + 240, 100)
+             for i in range(10)]
+    data = smf.write_smf(notes, 480, 500_000, meter=(5, 4))
+    bars = np.asarray(tensorize.midi_bytes_to_bars(data, spec54))
+    assert bars.shape == (2, 120, 128)
+    # quarter 5 (the 6th note) is bar 2 step 0 under 5/4
+    assert bars[1, 0, 65] == 1.0
+    # the corpus (native/C++ or numpy) path agrees
+    cb = tensorize.corpus_to_bars([data], spec54)[0]
+    np.testing.assert_array_equal(np.asarray(cb), bars)
+    # 4/4-configured ingestion REJECTS the same file, and vice versa
+    with pytest.raises(smf.SMFError, match="time signature"):
+        tensorize.corpus_to_bars([data], SPEC)
+    out = tensorize.bars_to_midi_bytes(bars, spec54)
+    assert smf.parse_smf(out).time_signatures == ((5, 4),)
+    back = np.asarray(tensorize.midi_bytes_to_bars(out, spec54))
+    np.testing.assert_array_equal(back, bars)
+
+
+def test_meter_78_fractional_quarters():
+    """7/8 = 3.5 quarters/bar: bar_steps carries the 84-step bar length
+    (quarters_per_bar is 0 — not a whole number), validation passes 7/8
+    files exactly, and exports declare 7/8."""
+    from musicvae_tpu.config import meter_grid
+
+    spec78 = dataclasses.replace(SPEC, **meter_grid(7, 8))
+    assert spec78.steps_per_bar == 84
+    assert spec78.quarters_per_bar == 0 and spec78.bar_steps == 84
+    # fourteen eighth notes at tpq=480: exactly two 7/8 bars
+    notes = [smf.Note(60 + i, i * 240, i * 240 + 120, 100)
+             for i in range(14)]
+    data = smf.write_smf(notes, 480, 500_000, meter=(7, 8))
+    bars = np.asarray(tensorize.midi_bytes_to_bars(data, spec78))
+    assert bars.shape == (2, 84, 128)
+    assert bars[1, 0, 67] == 1.0               # eighth 7 = bar 2 step 0
+    cb = tensorize.corpus_to_bars([data], spec78)[0]
+    np.testing.assert_array_equal(np.asarray(cb), bars)
+    out = tensorize.bars_to_midi_bytes(bars, spec78)
+    assert smf.parse_smf(out).time_signatures == ((7, 8),)
+    back = np.asarray(tensorize.midi_bytes_to_bars(out, spec78))
     np.testing.assert_array_equal(back, bars)

@@ -181,6 +181,43 @@ def test_patch_stem_hier_forward_and_generate():
     assert bars.dtype == jnp.uint8
 
 
+def test_odd_meter_bars_through_both_stems():
+    """Round-5 bar-adapting meters at the model level: 120-step (5/4)
+    and 84-step (7/8) bars run forward + generate through BOTH stems —
+    the conv head ceil-pad-crops, the patch trunk zero-pads partial
+    time patches and the patch head crops (models/layers.py)."""
+    from musicvae_tpu.config import get_config, meter_grid
+
+    for meter, base in [((5, 4), "c2_gru_4bar"), ((7, 8), "c2_gru_4bar"),
+                        ((5, 4), "c2_mxu"), ((7, 8), "c2_mxu")]:
+        cfg = get_config(base)
+        mk = dict(z_dim=8, gru_hidden=16, bar_feat_dim=16)
+        if cfg.model.stem == "patch":
+            mk.update(enc_channels=(8, 8, 16), dec_channels=(16, 8, 8))
+        else:
+            mk.update(enc_channels=(4, 8, 8, 8, 8),
+                      dec_channels=(8, 8, 8, 8, 8))
+        cfg = cpu_friendly(cfg.replace(
+            midi=dataclasses.replace(cfg.midi, **meter_grid(*meter)),
+            model=dataclasses.replace(cfg.model, **mk)))
+        spb = cfg.midi.steps_per_bar
+        assert spb == {(5, 4): 120, (7, 8): 84}[meter]
+        model, params = init_params(cfg, jax.random.key(0))
+        x = jax.random.bernoulli(
+            jax.random.key(1), 0.1,
+            (2, cfg.model.num_bars, spb, 128)).astype(jnp.float32)
+        logits, latents = model.apply(
+            {"params": params}, x, rngs={"latent": jax.random.key(2)})
+        assert logits.shape == x.shape, (meter, base)
+        assert jnp.all(jnp.isfinite(logits))
+
+        z = jax.random.normal(jax.random.key(4), (2, 3, cfg.model.z_dim))
+        reset = jnp.zeros((2, 3)).at[:, 0].set(1.0)
+        _, bars = model.apply({"params": params}, z, reset,
+                              method=model.generate)
+        assert bars.shape == (2, 3, spb, 128) and bars.dtype == jnp.uint8
+
+
 def test_patch_stem_cond_forward_and_generate():
     """The patch stem composes with the conditional wrapper (kind='cond'
     + stem='patch'): chord/key embeddings thread through the patch

@@ -312,6 +312,81 @@ def test_tp_with_pallas_conv1_matches_replicated():
         np.testing.assert_allclose(a, c, atol=1e-4)
 
 
+def test_tp_attn_sharded_matches_replicated():
+    """Round-5 TP widening (ADVICE r4): the attention temporal core's
+    denses (inp/qkv/wo/mlp, encoder AND decoder stacks) shard over
+    'model'; TP×DP training of a c2_trf-topology model must reproduce the
+    replicated run. pos_emb and LayerNorm params stay replicated.
+
+    Both runs use SGD: equivalence here means 'GSPMD computes the same
+    math', and SGD is linear in the gradient so reduction-order float
+    noise stays at float scale. (Adam divides by sqrt(v); at early steps
+    v≈0, so a sign flip in a near-zero gradient — pure reduction-order
+    noise, measured ≤4e-4 on the patch head's giant bias sums — flips
+    the whole lr-sized update, which is what the adaptive-optimizer
+    variant of this test would 'catch'.)"""
+    import optax
+    from musicvae_tpu.config import get_config
+    from musicvae_tpu.parallel import param_shardings, shard_params
+    from musicvae_tpu.parallel.mesh import MODEL_AXIS
+    from musicvae_tpu.train import TrainState
+
+    base = get_config("c2_trf")
+    cfg = cpu_friendly(base.replace(
+        mesh=MeshSpec(data=2, model=4),
+        model=dataclasses.replace(
+            base.model, enc_channels=(8, 8, 16), dec_channels=(16, 8, 8),
+            z_dim=8, gru_hidden=16, bar_feat_dim=16, attn_heads=4,
+            dtype="float32"),
+        train=dataclasses.replace(base.train, batch_size=8)))
+    rng = np.random.default_rng(3)
+    batch = {"x": (rng.random((8, 4, 96, 128)) < 0.05).astype(np.float32)}
+
+    def run(mesh_spec, shard):
+        mesh = make_mesh(mesh_spec)
+        model, state = create_state(cfg)
+        opt = optax.sgd(1e-2)
+        params = (shard_params(state.params, mesh) if shard
+                  else jax.device_put(state.params, replicated(mesh)))
+        state = TrainState(params=params, opt_state=opt.init(params),
+                           step=jax.device_put(state.step, replicated(mesh)),
+                           rng=jax.device_put(state.rng, replicated(mesh)))
+        step = make_train_step(cfg, model, opt=opt, use_pallas=False)
+        b = shard_batch(batch, mesh)
+        metrics = None
+        for _ in range(3):
+            state, metrics = step(state, b)
+        return (jax.device_get(state.params),
+                jax.device_get(metrics))
+
+    p_rep, m_rep = run(MeshSpec(data=1), shard=False)
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    model, state = create_state(cfg)
+    sh = param_shardings(state.params, mesh)
+    flat = {"/".join(str(getattr(k, "key", k)) for k in p): s.spec
+            for p, s in jax.tree_util.tree_leaves_with_path(sh)}
+    sharded = {n for n, spec in flat.items() if MODEL_AXIS in str(spec)}
+    for must in ("decoder/seq_attn/inp/kernel",
+                 "decoder/seq_attn/qkv_0/kernel",
+                 "decoder/seq_attn/wo_1/kernel",
+                 "decoder/seq_attn/mlp_up_0/kernel",
+                 "decoder/seq_attn/mlp_dn_1/kernel",
+                 "enc_attn/qkv_0/kernel"):
+        assert must in sharded, f"{must} should be model-sharded"
+    assert "decoder/seq_attn/pos_emb" not in sharded
+    assert not any("ln" in n for n in sharded if "attn" in n), \
+        "LayerNorm params stay replicated by design"
+
+    p_tp, m_tp = run(MeshSpec(data=2, model=4), shard=True)
+    np.testing.assert_allclose(m_rep["loss"], m_tp["loss"], rtol=1e-4)
+    # measured reduction-order noise after 3 SGD steps: ≤2e-4 abs on
+    # near-zero leaves, ≤1.4e-3 rel on O(1e-2) ones (patch-head sums) —
+    # a real partitioning bug would diverge at O(1)
+    for a, c in zip(jax.tree.leaves(p_rep), jax.tree.leaves(p_tp)):
+        np.testing.assert_allclose(a, c, rtol=5e-3, atol=3e-4)
+
+
 def test_tp_rule_rank_mismatch_falls_back_replicated():
     """A rule whose PartitionSpec has more dims than a matching leaf must
     fall back to replicated, not crash (rank check precedes the
