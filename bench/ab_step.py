@@ -47,6 +47,11 @@ def main() -> int:
                    choices=[None, "float32", "bfloat16"],
                    help="TrainSpec.adam_mu_dtype: dtype of Adam's first-"
                         "moment buffer (round-5 optimizer-traffic A/B)")
+    p.add_argument("--enc-channels", default=None,
+                   help="comma-separated ModelSpec.enc_channels override "
+                        "(round-5 wider-fewer patch-stack A/B)")
+    p.add_argument("--dec-channels", default=None,
+                   help="comma-separated ModelSpec.dec_channels override")
     p.add_argument("--pallas-loss", action="store_true",
                    help="TrainSpec.use_pallas_loss=True: the train step's "
                         "differentiated masked-BCE runs through the "
@@ -69,6 +74,12 @@ def main() -> int:
         overrides["logits_dtype"] = args.logits_dtype
     if args.model_dtype:
         overrides["dtype"] = args.model_dtype
+    if args.enc_channels:
+        overrides["enc_channels"] = tuple(
+            int(c) for c in args.enc_channels.split(","))
+    if args.dec_channels:
+        overrides["dec_channels"] = tuple(
+            int(c) for c in args.dec_channels.split(","))
     if overrides:
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, **overrides))
     if args.batch:

@@ -507,14 +507,31 @@ def build_model(cfg: Config) -> PianoRollVAE:
 
 
 def init_params(cfg: Config, rng: jax.Array):
-    """Initialize parameters with a dummy batch (batch=2 keeps init cheap)."""
-    model = build_model(cfg)
-    x = jnp.zeros((2, cfg.model.num_bars, cfg.midi.steps_per_bar,
-                   cfg.midi.num_pitches), jnp.float32)
-    kw = {}
-    if cfg.model.kind == "cond":
-        kw = {"chord": jnp.zeros((2, cfg.model.num_bars), jnp.int32),
-              "key_sig": jnp.zeros((2,), jnp.int32)}
-    p_rng, l_rng = jax.random.split(rng)
-    variables = model.init({"params": p_rng, "latent": l_rng}, x, **kw)
-    return model, variables["params"]
+    """Initialize parameters with a dummy batch (batch=2 keeps init cheap).
+
+    Runs on the host CPU backend when the default backend is an
+    accelerator: Module.init executes the forward eagerly (one XLA
+    program per op), which on a remote-compile TPU backend costs a
+    compile round-trip per op for throwaway init work — see
+    parallel.mesh.host_init_device. Callers place the returned pytree
+    explicitly (pmesh.put_tree / checkpoint restore), so where init ran
+    is invisible downstream."""
+    import contextlib
+
+    from musicvae_tpu.parallel.mesh import host_init_device
+    cpu = host_init_device()
+    ctx = (jax.default_device(cpu) if cpu is not None
+           else contextlib.nullcontext())
+    with ctx:
+        if cpu is not None:
+            rng = jax.device_put(rng, cpu)   # uncommit from the accelerator
+        model = build_model(cfg)
+        x = jnp.zeros((2, cfg.model.num_bars, cfg.midi.steps_per_bar,
+                       cfg.midi.num_pitches), jnp.float32)
+        kw = {}
+        if cfg.model.kind == "cond":
+            kw = {"chord": jnp.zeros((2, cfg.model.num_bars), jnp.int32),
+                  "key_sig": jnp.zeros((2,), jnp.int32)}
+        p_rng, l_rng = jax.random.split(rng)
+        variables = model.init({"params": p_rng, "latent": l_rng}, x, **kw)
+        return model, variables["params"]

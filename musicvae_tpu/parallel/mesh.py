@@ -23,6 +23,27 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def host_init_device():
+    """Device to run eager init work on: the host CPU when the default
+    backend is an accelerator, else None (stay on the default).
+
+    Flax's ``Module.init`` and optax's ``init`` execute EAGERLY — one XLA
+    program per op. On a remote-compile TPU backend (axon tunnel) every
+    one of those throwaway batch=2 programs pays a compile round-trip
+    that can cost minutes on a congested day (observed round 5: >20 min
+    stuck in param-init compiles before the train-step compile even
+    started). Initializing under ``jax.default_device(host_init_device())``
+    is local and instant, deterministic in the seed across processes, and
+    transparent to placement — callers re-place the resulting pytree onto
+    the mesh (put_tree / checkpoint restore) anyway."""
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def make_mesh(spec: Optional[MeshSpec] = None,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build the (data, model) mesh.

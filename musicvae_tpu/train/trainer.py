@@ -79,9 +79,26 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return optax.chain(*chain)
 
 
+host_init_device = pmesh.host_init_device   # see parallel.mesh docstring
+
+
 def create_state(cfg: Config, rng: Optional[jax.Array] = None
                  ) -> Tuple[Any, TrainState]:
-    rng = rng if rng is not None else jax.random.key(cfg.train.seed)
+    import contextlib
+    cpu = host_init_device()
+    ctx = (jax.default_device(cpu) if cpu is not None
+           else contextlib.nullcontext())
+    with ctx:
+        return _create_state_on_default(cfg, rng, cpu)
+
+
+def _create_state_on_default(cfg: Config, rng, cpu) -> Tuple[Any, TrainState]:
+    if rng is None:
+        rng = jax.random.key(cfg.train.seed)
+    elif cpu is not None:
+        # a committed accelerator-resident key would pull every derived
+        # init op back onto the accelerator; uncommit it to the CPU
+        rng = jax.device_put(rng, cpu)
     init_rng, loop_rng = jax.random.split(rng)
     model, params = init_params(cfg, init_rng)
     opt = make_optimizer(cfg)
