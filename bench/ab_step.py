@@ -52,6 +52,10 @@ def main() -> int:
                         "(round-5 wider-fewer patch-stack A/B)")
     p.add_argument("--dec-channels", default=None,
                    help="comma-separated ModelSpec.dec_channels override")
+    p.add_argument("--mfu", action="store_true",
+                   help="also lower the single-step program for XLA's "
+                        "cost model and report GFLOP/step + MFU vs the "
+                        "chip's bf16 peak (bench/mfu.py methodology)")
     p.add_argument("--pallas-loss", action="store_true",
                    help="TrainSpec.use_pallas_loss=True: the train step's "
                         "differentiated masked-BCE runs through the "
@@ -131,8 +135,22 @@ def main() -> int:
 
     log(f"{sps:.2f} steps/s ({n_chunks}x{K} steps in {dt:.2f}s), "
         f"loss {final_loss:.1f}")
-    print(json.dumps({"config": cfg.name, "overrides": overrides,
-                      "batch": b, "k": K, "steps_per_sec": round(sps, 2)}))
+    row = {"config": cfg.name, "overrides": overrides,
+           "batch": b, "k": K, "steps_per_sec": round(sps, 2)}
+    if args.mfu:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from mfu import PEAK_BF16, _flops   # bench/mfu.py (not a package:
+                                            # root bench.py shadows 'bench')
+        from musicvae_tpu.train import make_train_step_indexed
+        single = make_train_step_indexed(cfg, model)
+        flops = _flops(single.lower(state, data, idxs[0][0]).compile())
+        kind = jax.devices()[0].device_kind
+        peak = next((v for kk, v in PEAK_BF16.items() if kind.startswith(kk)),
+                    None)
+        row["gflop_per_step"] = round(flops / 1e9, 2)
+        if peak:
+            row["mfu"] = round(flops * sps / peak, 4)
+    print(json.dumps(row))
     return 0
 
 

@@ -198,6 +198,7 @@ def cmd_train(args) -> int:
         ("lr_schedule", args.lr_schedule),
         ("lr_warmup_steps", args.lr_warmup_steps),
         ("lr_min_ratio", args.lr_min_ratio),
+        ("grad_clip_norm", args.grad_clip),
         ("ema_decay", args.ema_decay),
         ("eval_every", args.eval_every),
         ("eval_batches", args.eval_batches),
@@ -1948,6 +1949,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="linear lr warmup steps before the cosine decay")
     p.add_argument("--lr-min-ratio", type=float, default=None,
                    help="cosine floor as a fraction of --lr (default 0)")
+    p.add_argument("--grad-clip", type=float, default=None,
+                   help="global-norm gradient clipping "
+                        "(TrainSpec.grad_clip_norm; 0 = off)")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="maintain exponential-moving-average weights with "
                         "this decay (e.g. 0.999; 0 = off, the config "

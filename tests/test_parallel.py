@@ -405,3 +405,21 @@ def test_tp_rule_rank_mismatch_falls_back_replicated():
                          rules=[(r".*/bias$", P(None, MODEL_AXIS))])
     for s in jax.tree.leaves(sh):
         assert MODEL_AXIS not in str(s.spec)
+
+
+def test_host_init_device_is_none_on_cpu_backend():
+    """host_init_device (parallel.mesh): on a CPU default backend init
+    stays put (None -> nullcontext in create_state/init_params). The
+    accelerator branch — init on the host CPU to avoid one remote
+    compile per eager init op over the axon tunnel — is exercised by
+    every CLI drive on the real chip; what CI can pin is that the CPU
+    path is a no-op and that create_state still produces a state whose
+    leaves live on the default device."""
+    from musicvae_tpu.parallel.mesh import host_init_device
+    assert jax.default_backend() == "cpu"
+    assert host_init_device() is None
+    _, state = create_state(C2_GRU_4BAR.replace(name="tiny", model=dataclasses.replace(
+        C2_GRU_4BAR.model, enc_channels=(4, 8), dec_channels=(8, 4),
+        z_dim=8, bar_feat_dim=8, gru_hidden=8)))
+    dev = jax.tree.leaves(state.params)[0].devices()
+    assert all(d.platform == "cpu" for d in dev)
