@@ -144,17 +144,25 @@ LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_last.json")
 
 
-def backend_reachable(timeout_s: int = 300) -> bool:
+def backend_reachable(timeout_s: int = 720) -> bool:
     """The axon tunnel, when down, HANGS device discovery rather than
     erroring (observed 2026-08-17/18: >12h outage, jax.devices() blocks
     forever). Probe it in a disposable subprocess so bench.py always
     emits its one JSON line instead of hanging past the driver's
-    patience."""
+    patience. The probe enables the persistent compile cache and the
+    timeout allows one slow remote compile (round 5 measured ~9 min for
+    a trivial program during tunnel congestion) — after one success the
+    probe's program is cached and later probes answer in seconds."""
     import subprocess
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/musicvae_tpu_xla"))
     try:
         r = subprocess.run(
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp; "
+             f"jax.config.update('jax_compilation_cache_dir', {cache!r}); "
+             "jax.config.update("
+             "'jax_persistent_cache_min_compile_time_secs', 1.0); "
              "print(float(jnp.ones((8,8)).sum()))"],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0 and b"64.0" in r.stdout
@@ -162,7 +170,23 @@ def backend_reachable(timeout_s: int = 300) -> bool:
         return False
 
 
+def _enable_compile_cache():
+    """Same persistent-cache default as the CLI (cli._enable_compile_cache):
+    remote compiles over the tunnel are slow and HIGHLY variable (measured
+    round 5: 4 s to >9 min for the same trivial program); a pre-warmed
+    cache makes the driver's bench run start in seconds."""
+    import jax
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/musicvae_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     if not backend_reachable():
         log("backend unreachable (axon tunnel down?)")
         if os.path.exists(LAST_GOOD):

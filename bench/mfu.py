@@ -184,6 +184,15 @@ def main() -> int:
     log(f"device: {dev}, bf16 peak {peak/1e12:.0f} TFLOP/s")
 
     rows = []
+
+    def flush():
+        # incremental: a sweep interrupted mid-run (remote compiles on a
+        # congested tunnel can take many minutes PER CONFIG) still leaves
+        # every completed row on disk
+        with open(args.out, "w") as f:
+            json.dump({"device_kind": dev, "peak_bf16_flops": peak,
+                       "rows": rows}, f, indent=1)
+
     names = args.configs or TRAIN_CONFIGS
     for name in names:
         cfg = get_config(name)
@@ -201,6 +210,7 @@ def main() -> int:
         })
         log(f"{name}: {sps:.1f} steps/s, "
             f"{flops_step/1e9:.2f} GFLOP/step, MFU {100*mfu:.2f}%")
+        flush()
 
     if args.configs is None:
         cfg = get_config("c5_gen_sweep")
@@ -217,9 +227,7 @@ def main() -> int:
         log(f"c5_gen_sweep: {phrases:.0f} 4-bar phrases/s, "
             f"MFU {100*flops_per_s/peak:.2f}%")
 
-    blob = {"device_kind": dev, "peak_bf16_flops": peak, "rows": rows}
-    with open(args.out, "w") as f:
-        json.dump(blob, f, indent=1)
+    flush()
     log(f"wrote {args.out}")
     return 0
 

@@ -147,9 +147,11 @@ class TrainSpec:
     # round-4 trace attribution pins part of the MXU family's non-matmul
     # remainder on optimizer/elementwise passes over the parameter-sized
     # buffers; "bfloat16" halves the m-buffer's HBM traffic (and its
-    # checkpoint footprint) at the cost of moment precision — measured
-    # A/B in docs/PALLAS_NOTES.md round 5 (bench/ab_step.py
-    # --adam-mu-dtype). The second moment stays f32 (optax has no nu
+    # checkpoint footprint) at the cost of moment precision. A/B it on
+    # chip with bench/ab_step.py --adam-mu-dtype bfloat16 --mfu (the
+    # measurement run is queued in bench/post_controls_r5.sh; the
+    # round-5 attempt was lost to tunnel congestion — BASELINE.md
+    # compile-time note). The second moment stays f32 (optax has no nu
     # dtype knob, and v's dynamic range is the fragile one anyway).
     adam_mu_dtype: str = "float32"
     weight_decay: float = 0.0
@@ -361,10 +363,17 @@ C2_TRF = Config(
                     dec_channels=(512, 256, 256),
                     bar_feat_dim=256, gru_hidden=512,
                     temporal="attn", attn_layers=2, attn_heads=8),
-    # same regularization as c2_mxu — this capacity needs the KL floor
-    # and augmentation (config rationale in the c2_mxu comment above)
+    # same regularization as c2_mxu (KL floor + augmentation, rationale
+    # in the c2_mxu comment above) PLUS standard transformer hygiene:
+    # grad-clip 1.0, 1000-step lr warmup, cosine decay. Measured to
+    # matter (round-5 quality soaks, logs/r5/): at GRU-tuned knobs the
+    # 16-bar attn model DIVERGES (grad norms ~1e4, eval F1 oscillating
+    # 0.37-0.62); with these knobs it beats the mxu sibling at matched
+    # budget (F1 0.778 vs 0.731; BASELINE.md round-5 quality table).
     train=TrainSpec(batch_size=64, beta_warmup_steps=4000,
-                    free_bits=0.125, transpose_aug=5),
+                    free_bits=0.125, transpose_aug=5,
+                    grad_clip_norm=1.0, lr_schedule="cosine",
+                    lr_warmup_steps=1000, lr_min_ratio=0.1),
 )
 
 # The hierarchical sibling of c2_mxu: the same patch stem/head under the
@@ -395,7 +404,13 @@ C3_TRF = Config(
                     dec_channels=(512, 256, 256),
                     bar_feat_dim=256, gru_hidden=512,
                     temporal="attn", attn_layers=2, attn_heads=8),
-    train=TrainSpec(batch_size=128, free_bits=0.125, transpose_aug=5),
+    # transformer hygiene knobs (C2_TRF comment): at GRU knobs this
+    # config is stable but trails c3_mxu (eval F1 0.807 vs 0.831 at the
+    # 8k matched budget); with clip+warmup it posts F1 0.980 — the
+    # decisive quality result of the round-5 A/B (BASELINE.md).
+    train=TrainSpec(batch_size=128, free_bits=0.125, transpose_aug=5,
+                    grad_clip_norm=1.0, lr_schedule="cosine",
+                    lr_warmup_steps=1000, lr_min_ratio=0.1),
 )
 
 # The registered long-context A/B pair (round 5, promoted from the

@@ -326,6 +326,12 @@ def test_hier_attn_train_steps_reduce_loss():
     from musicvae_tpu.train import create_state, make_train_step
 
     cfg = _tiny_hier_trf_cfg()
+    # the trf configs default to 1000-step lr warmup (round-5 stability
+    # knobs); this test takes 8 steps and asserts gradient flow, so use
+    # a flat lr that actually moves the loss in 8 steps
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, lr_schedule="constant", lr_warmup_steps=0,
+        grad_clip_norm=0.0))
     model, state = create_state(cfg)
     step = make_train_step(cfg, model, use_pallas=False)
     rng = np.random.default_rng(0)
