@@ -406,11 +406,18 @@ C3_TRF = Config(
                     temporal="attn", attn_layers=2, attn_heads=8),
     # transformer hygiene knobs (C2_TRF comment): at GRU knobs this
     # config is stable but trails c3_mxu (eval F1 0.807 vs 0.831 at the
-    # 8k matched budget); with clip+warmup it posts F1 0.980 — the
-    # decisive quality result of the round-5 A/B (BASELINE.md).
+    # 8k matched budget); with clip+warmup it posts F1 0.980-0.982 —
+    # the decisive quality result of the round-5 A/B (BASELINE.md).
+    # lr stays CONSTANT after warmup (lr_min_ratio=1.0), unlike the
+    # flat trf configs: both variants were soaked, and while decay adds
+    # +0.002 recon F1, it lowers late KL usage and halves generation
+    # density (4.7 vs 10.2 notes/bar, 50% vs 0% empty bars —
+    # logs/r5/evalgen_c3_trf_{default,knobs}.json); this is a
+    # generative model, so the denser-sampling knob wins. The flat
+    # configs NEED decay for stability; this one never did.
     train=TrainSpec(batch_size=128, free_bits=0.125, transpose_aug=5,
                     grad_clip_norm=1.0, lr_schedule="cosine",
-                    lr_warmup_steps=1000, lr_min_ratio=0.1),
+                    lr_warmup_steps=1000, lr_min_ratio=1.0),
 )
 
 # The registered long-context A/B pair (round 5, promoted from the
