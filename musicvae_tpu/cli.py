@@ -187,6 +187,16 @@ def cmd_train(args) -> int:
 
     cfg = _apply_midi_overrides(get_config(args.config), args)
     import dataclasses
+    # architecture-width overrides (capacity sweeps by CLI — the round-5
+    # MXU lever study; the checkpoint stores the EFFECTIVE config, so
+    # resume/generate/describe need no re-passing)
+    model_overrides = {k: tuple(int(c) for c in v.split(","))
+                       for k, v in (("enc_channels", args.enc_channels),
+                                    ("dec_channels", args.dec_channels))
+                       if v is not None}
+    if model_overrides:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    **model_overrides))
     overrides = {k: v for k, v in (
         ("num_steps", args.steps),
         ("batch_size", args.batch_size),
@@ -1952,6 +1962,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--grad-clip", type=float, default=None,
                    help="global-norm gradient clipping "
                         "(TrainSpec.grad_clip_norm; 0 = off)")
+    p.add_argument("--enc-channels", default=None,
+                   help="comma-separated ModelSpec.enc_channels override "
+                        "(capacity sweeps; stored in the checkpoint)")
+    p.add_argument("--dec-channels", default=None,
+                   help="comma-separated ModelSpec.dec_channels override")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="maintain exponential-moving-average weights with "
                         "this decay (e.g. 0.999; 0 = off, the config "
