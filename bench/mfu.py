@@ -42,7 +42,7 @@ PEAK_BF16 = {
 TRAIN_CONFIGS = ["c1_conv_bar", "c2_gru_4bar", "c2_cropped",
                  "c3_hier_16bar", "c4_cond", "c2_mxu", "c2_trf", "c3_mxu",
                  "c3_trf", "c2_mxu_16bar", "c2_trf_16bar",
-                 "c2_mxu_32bar", "c2_trf_32bar"]
+                 "c2_mxu_32bar", "c2_trf_32bar", "c2_mxu_wide"]
 
 
 def log(*a):

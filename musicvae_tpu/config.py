@@ -147,12 +147,13 @@ class TrainSpec:
     # round-4 trace attribution pins part of the MXU family's non-matmul
     # remainder on optimizer/elementwise passes over the parameter-sized
     # buffers; "bfloat16" halves the m-buffer's HBM traffic (and its
-    # checkpoint footprint) at the cost of moment precision. A/B it on
-    # chip with bench/ab_step.py --adam-mu-dtype bfloat16 --mfu (the
-    # measurement run is queued in bench/post_controls_r5.sh; the
-    # round-5 attempt was lost to tunnel congestion — BASELINE.md
-    # compile-time note). The second moment stays f32 (optax has no nu
-    # dtype knob, and v's dynamic range is the fragile one anyway).
+    # checkpoint footprint) at the cost of moment precision — measured
+    # +2.3% steps/s on c2_mxu (36.2->37.0% MFU, logs/r5/
+    # mxu_levers.jsonl; docs/PALLAS_NOTES.md round-5 lever table).
+    # Default stays f32 so r4 training numerics are bit-preserved;
+    # flip per-run via bench/ab_step.py --adam-mu-dtype bfloat16.
+    # The second moment stays f32 (optax has no nu dtype knob, and
+    # v's dynamic range is the fragile one anyway).
     adam_mu_dtype: str = "float32"
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0          # 0 disables
@@ -449,10 +450,26 @@ C2_TRF_32BAR = C2_TRF.replace(
     train=dataclasses.replace(C2_TRF.train, batch_size=16),
 )
 
+# The round-5 MXU-ceiling winner (VERDICT r4 #8; PALLAS_NOTES round-5
+# lever table): the 3-layer 256/256/512 patch stack collapsed into TWO
+# 512-wide layers — every conv a bigger, squarer MXU contraction.
+# Measured on chip: 49.0% MFU at 227 steps/s (vs c2_mxu's 36.2% /
+# 404) — 2.4x the FLOPs/step — AND better quality at matched step
+# budget on a shared corpus (eval F1 0.788 vs 0.713, eval loss 903 vs
+# 1268, logs/r5/wide_*_soak.log; the base config's F1 peaks by step
+# 2000 and declines, so matched wall-clock does not rescue it).
+C2_MXU_WIDE = C2_MXU.replace(
+    name="c2_mxu_wide",
+    model=dataclasses.replace(C2_MXU.model,
+                              enc_channels=(512, 512),
+                              dec_channels=(512, 512)),
+)
+
 _CONFIGS = {c.name: c for c in
             (C1_CONV_BAR, C2_GRU_4BAR, C3_HIER_16BAR, C4_COND, C5_GEN_SWEEP,
              C2_CROPPED, C2_MXU, C2_TRF, C3_MXU, C3_TRF,
-             C2_MXU_16BAR, C2_TRF_16BAR, C2_MXU_32BAR, C2_TRF_32BAR)}
+             C2_MXU_16BAR, C2_TRF_16BAR, C2_MXU_32BAR, C2_TRF_32BAR,
+             C2_MXU_WIDE)}
 
 
 # native grid resolution: 24 steps/quarter = 96 steps/whole-note — the
